@@ -1,0 +1,212 @@
+"""Pure-Python PDB reader/writer.
+
+Produces the same structure record as the reference's GEMMI-based reader
+(reference: src/structure_io.py:6-55) without a native dependency:
+
+    {'xyz': float32 [N,3], 'name': str [N], 'element': str [N],
+     'resname': str [N], 'resid': int32 [N], 'het_flag': str [N],
+     'chain_name': str [N], 'icode': str [N]}
+
+Behavioral contract matched against the reference reader:
+  - fixed-column PDB parsing of ATOM/HETATM records,
+  - multi-model files: every model is read and chains are renamed
+    "{chain}:{model_index}" with a 0-based model index,
+  - altloc handling keeps the *first* encountered conformer, keyed by
+    (chain, resid, atom name) across the whole file (reference
+    src/structure_io.py:26-31 keeps one global altloc list),
+  - het_flag is 'A' for ATOM records and 'H' for HETATM records,
+  - the element symbol comes from columns 77-78, falling back to a guess
+    from the atom name when the column is blank,
+  - gzip-compressed files are read transparently (".gz" suffix).
+
+The writer reproduces the reference's fixed-width line layout
+(src/structure_io.py:96-123): per-subunit 1-based atom serials, the
+prediction written into both occupancy and B-factor columns, a TER line per
+subunit and a final END.
+"""
+
+import gzip
+
+import numpy as np
+
+# Two-letter element symbols that can appear in PDB atom names; used only
+# when the element column (77-78) is blank.
+_TWO_LETTER_ELEMENTS = {
+    "BR", "CL", "ZN", "MG", "FE", "CA", "NA", "MN", "CU", "NI", "CO", "SE",
+    "CD", "HG", "PT", "PB", "AU", "AG", "SR", "BA", "RB", "CS", "LI", "AL",
+    "SI", "AS", "MO", "RU", "RH", "PD", "SN", "SB", "TE", "XE", "GD", "IR",
+    "OS", "RE", "TL", "BI",
+}
+
+
+def _guess_element(name: str, resname: str) -> str:
+    """Guess the element from an atom name when columns 77-78 are empty."""
+    s = "".join(c for c in name if c.isalpha()).upper()
+    if not s:
+        return "X"
+    if len(s) >= 2 and s[:2] in _TWO_LETTER_ELEMENTS:
+        # Ions/metals are usually their own residue; avoid eating 'CA' of
+        # a protein backbone (calcium vs C-alpha).
+        if resname.strip().upper() == s[:2] or s[:2] not in ("CA", "CD", "NE", "CE"):
+            return s[0] + s[1].lower()
+    return s[0]
+
+
+def _normalize_element(raw: str) -> str:
+    e = raw.strip()
+    if not e:
+        return ""
+    e = "".join(c for c in e if c.isalpha())
+    if not e:
+        return ""
+    if len(e) == 1:
+        return e.upper()
+    return e[0].upper() + e[1:].lower()
+
+
+def _open_text(path: str):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def read_pdb(pdb_filepath: str) -> dict:
+    """Parse a PDB file into a dict-of-arrays structure record.
+
+    Matches the record produced by the reference reader
+    (src/structure_io.py:6-55). Raises ValueError on files with no atoms.
+    """
+    atom_element, atom_name, atom_xyz = [], [], []
+    residue_name, seq_id, het_flag, chain_name, icodes = [], [], [], [], []
+
+    altloc_seen = set()
+    mid = 0
+    saw_model_record = False
+
+    with _open_text(pdb_filepath) as fs:
+        for line in fs:
+            rec = line[0:6]
+            if rec == "MODEL ":
+                if saw_model_record:
+                    mid += 1
+                saw_model_record = True
+                continue
+            if rec not in ("ATOM  ", "HETATM"):
+                continue
+            if len(line) < 54:
+                continue
+
+            name = line[12:16].strip()
+            altloc = line[16:17]
+            resname = line[17:20].strip()
+            chain = line[21:22].strip()
+            try:
+                resid = int(line[22:26])
+            except ValueError:
+                continue
+            icode = line[26:27].strip()
+
+            if altloc not in (" ", ""):
+                key = f"{chain}_{resid}_{name}"
+                if key in altloc_seen:
+                    continue
+                altloc_seen.add(key)
+
+            try:
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+            except ValueError:
+                continue
+
+            element = _normalize_element(line[76:78] if len(line) >= 78 else "")
+            if not element:
+                element = _guess_element(name, resname)
+
+            atom_name.append(name)
+            atom_xyz.append((x, y, z))
+            residue_name.append(resname)
+            seq_id.append(resid)
+            het_flag.append("A" if rec == "ATOM  " else "H")
+            chain_name.append(f"{chain}:{mid}")
+            icodes.append(icode)
+            atom_element.append(element)
+
+    if not atom_xyz:
+        raise ValueError(f"no atoms parsed from {pdb_filepath}")
+
+    return {
+        "xyz": np.array(atom_xyz, dtype=np.float32),
+        "name": np.array(atom_name),
+        "element": np.array(atom_element),
+        "resname": np.array(residue_name),
+        "resid": np.array(seq_id, dtype=np.int32),
+        "het_flag": np.array(het_flag),
+        "chain_name": np.array(chain_name),
+        "icode": np.array(icodes),
+    }
+
+
+def _format_atom_line(h, serial, name, resname, chain_char, resid, xyz, bf, element):
+    return "{:<6s}{:>5d} {:<4s} {:>3s} {:1s}{:>4d}    {:8.3f}{:8.3f}{:8.3f}{:6.2f}{:6.2f}          {:<2s}  ".format(
+        h, serial, name, resname, chain_char, int(resid),
+        float(xyz[0]), float(xyz[1]), float(xyz[2]), float(bf), float(bf), element,
+    )
+
+
+def save_pdb(subunits: dict, filepath: str) -> None:
+    """Write subunits to a PDB file (reference layout: src/structure_io.py:96-123).
+
+    The per-atom 'bfactor' field (when present) is written into both the
+    occupancy and B-factor columns; atom serials restart at 1 per subunit.
+    """
+    with open(filepath, "w") as fs:
+        for cn in subunits:
+            su = subunits[cn]
+            n = su["xyz"].shape[0]
+            bfs = su.get("bfactor")
+            for i in range(n):
+                h = "ATOM" if su["het_flag"][i] == "A" else "HETATM"
+                bf = float(bfs[i]) if bfs is not None else 0.0
+                chain_char = str(cn).split(":")[0][0] if str(cn) else "A"
+                fs.write(
+                    _format_atom_line(
+                        h, i + 1, str(su["name"][i]), str(su["resname"][i]),
+                        chain_char, su["resid"][i], su["xyz"][i], bf,
+                        str(su["element"][i]),
+                    )
+                    + "\n"
+                )
+            fs.write("TER\n")
+        fs.write("END")
+
+
+def save_traj_pdb(subunits: dict, filepath: str) -> None:
+    """Write a multi-frame trajectory as MODEL/ENDMDL blocks
+    (reference layout: src/structure_io.py:126-159)."""
+    num_frames = None
+    for cn in subunits:
+        assert len(subunits[cn]["xyz"].shape) == 3, "no time dimension"
+        num_frames = subunits[cn]["xyz"].shape[0]
+
+    with open(filepath, "w") as fs:
+        for k in range(num_frames):
+            fs.write("MODEL    {:>4d}\n".format(k))
+            for cn in subunits:
+                su = subunits[cn]
+                assert num_frames == su["xyz"].shape[0], "mismatching number of frames"
+                n = su["xyz"][k].shape[0]
+                bfs = su.get("bfactor")
+                for i in range(n):
+                    h = "ATOM" if su["het_flag"][i] == "A" else "HETATM"
+                    bf = float(bfs[i]) if bfs is not None else 0.0
+                    line = "{:<6s}{:>5d} {:<4s} {:>3s} {:1s}{:>4d}    {:8.3f}{:8.3f}{:8.3f}{:6.2f}{:6.2f}          {:<2s}  ".format(
+                        h, i + 1, str(su["name"][i]), str(su["resname"][i]),
+                        str(cn), int(su["resid"][i]),
+                        float(su["xyz"][k][i][0]), float(su["xyz"][k][i][1]),
+                        float(su["xyz"][k][i][2]), 0.0, bf, str(su["element"][i]),
+                    )
+                    fs.write(line + "\n")
+                fs.write("TER\n")
+            fs.write("ENDMDL\n")
+        fs.write("END")

@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from pesto_tpu.io import read_pdb, save_pdb
+
+
+def test_read_example_pdb(example_pdb):
+    s = read_pdb(example_pdb)
+    n = s["xyz"].shape[0]
+    assert n > 100
+    for key in ["name", "element", "resname", "resid", "het_flag", "chain_name", "icode"]:
+        assert s[key].shape[0] == n
+    assert s["xyz"].dtype == np.float32
+    # first atom of 1OL5_A.pdb: N of SER 123 chain A
+    assert s["name"][0] == "N"
+    assert s["resname"][0] == "SER"
+    assert int(s["resid"][0]) == 123
+    assert s["element"][0] == "N"
+    assert s["chain_name"][0] == "A:0"
+    assert s["het_flag"][0] == "A"
+    np.testing.assert_allclose(s["xyz"][0], [174.192, 196.109, 19.556], atol=1e-3)
+
+
+def test_read_complex_with_hetatms(example_complex_pdb):
+    s = read_pdb(example_complex_pdb)
+    assert set(np.unique(s["het_flag"])) <= {"A", "H"}
+    # multiple chains expected
+    assert len(np.unique(s["chain_name"])) >= 2
+
+
+def test_roundtrip_write_read(tmp_path, example_pdb):
+    s = read_pdb(example_pdb)
+    su = {"A:0": {k: v for k, v in s.items() if k not in ("chain_name", "icode")}}
+    su["A:0"]["bfactor"] = np.linspace(0, 1, s["xyz"].shape[0]).astype(np.float32)
+    out = tmp_path / "out.pdb"
+    save_pdb(su, str(out))
+    s2 = read_pdb(str(out))
+    assert s2["xyz"].shape == s["xyz"].shape
+    np.testing.assert_allclose(s2["xyz"], s["xyz"], atol=1.5e-3)
+    assert np.array_equal(s2["name"], s["name"])
+    assert np.array_equal(s2["element"], s["element"])
+    assert np.array_equal(s2["resname"], s["resname"])
+    assert np.array_equal(s2["resid"].astype(np.int64), s["resid"].astype(np.int64))
+
+
+def test_reader_matches_reference_writer_format(reference_dir):
+    # files under examples/*_i0.pdb were written by the reference writer;
+    # our reader must parse them and find sane b-factors in [0,1].
+    p = reference_dir / "examples" / "kinase" / "1OL5_A_i0.pdb"
+    if not p.exists():
+        pytest.skip("golden output missing")
+    s = read_pdb(str(p))
+    assert s["xyz"].shape[0] > 100
+
+
+def test_multimodel_parsing(tmp_path):
+    text = """MODEL        1
+ATOM      1  N   ALA A   1       0.000   0.000   0.000  1.00  0.00           N
+ENDMDL
+MODEL        2
+ATOM      1  N   ALA A   1       1.000   0.000   0.000  1.00  0.00           N
+ENDMDL
+END
+"""
+    f = tmp_path / "mm.pdb"
+    f.write_text(text)
+    s = read_pdb(str(f))
+    assert s["xyz"].shape[0] == 2
+    assert list(s["chain_name"]) == ["A:0", "A:1"]
+
+
+def test_altloc_keeps_first(tmp_path):
+    text = """ATOM      1  CA ASER A   1       0.000   0.000   0.000  0.50  0.00           C
+ATOM      2  CA BSER A   1       9.000   0.000   0.000  0.50  0.00           C
+END
+"""
+    f = tmp_path / "al.pdb"
+    f.write_text(text)
+    s = read_pdb(str(f))
+    assert s["xyz"].shape[0] == 1
+    assert s["xyz"][0, 0] == 0.0
+
+
+def test_element_guess_when_blank(tmp_path):
+    text = """ATOM      1  CA  ALA A   1       0.000   0.000   0.000  1.00  0.00
+HETATM    2 ZN    ZN A   2       3.000   0.000   0.000  1.00  0.00
+END
+"""
+    f = tmp_path / "el.pdb"
+    f.write_text(text)
+    s = read_pdb(str(f))
+    assert s["element"][0] == "C"
+    assert s["element"][1] == "Zn"
