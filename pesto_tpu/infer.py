@@ -1,0 +1,88 @@
+"""Inference engine: bucketed, jitted, batched prediction.
+
+Replaces the reference's per-structure eager loop (apply_model.ipynb cell 6,
+profiling.py:68-105) with a TPU-native design: one compiled forward per
+(atom-bucket, residue-bucket) shape, vmapped over a batch axis, fed by the
+host-side encode/pad pipeline. Padding makes every call shape-static, so
+XLA compiles each bucket exactly once per process.
+"""
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batching import PaddedStructure, encode_and_pad, stack_batch
+from .models import PestoConfig, PestoModel
+from .port import load_reference_checkpoint
+from .structure import (
+    clean_structure,
+    concatenate_chains,
+    preprocess_structure,
+)
+
+
+class Predictor:
+    """Bucketed jitted inference on padded structures."""
+
+    def __init__(self, cfg: PestoConfig, params, donate: bool = False):
+        self.cfg = cfg
+        self.model = PestoModel(cfg)
+        self.params = params
+        self._single = jax.jit(self._apply)
+        self._batched = jax.jit(jax.vmap(self._apply, in_axes=(None, 0, 0, 0, 0, 0)))
+
+    @classmethod
+    def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":
+        return cls(cfg, load_reference_checkpoint(path, cfg))
+
+    def _apply(self, params, X, ids, q, M, am):
+        return self.model.apply({"params": params}, X, ids, q, M, am)
+
+    def logits(self, ps: PaddedStructure) -> jax.Array:
+        """Per-residue logits [NR, C] (or [B, NR, C] for batches)."""
+        if ps.X.ndim == 3:
+            return self._batched(self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
+        return self._single(self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
+
+    def probabilities(self, ps: PaddedStructure) -> np.ndarray:
+        return np.asarray(jax.nn.sigmoid(self.logits(ps)))
+
+    def predict_structure(self, structure: dict) -> np.ndarray:
+        """Cleaned+concatenated structure record -> [n_res, C] probs."""
+        ps = encode_and_pad(structure, feature_flags=self.cfg.feature_flags)
+        nr = int(np.sum(np.asarray(ps.res_mask)))
+        return self.probabilities(ps)[:nr]
+
+    def predict_pdb_file(self, path: str) -> Tuple[dict, np.ndarray]:
+        """Raw PDB file -> (preprocessed merged structure, [n_res, C] probs).
+
+        Mirrors the reference inference chain (apply_model.ipynb cell 6):
+        read -> clean -> tag -> split -> filter -> dedup -> concat -> model.
+        """
+        from .io import read_pdb
+
+        subunits = preprocess_structure(read_pdb(path))
+        structure = concatenate_chains(subunits)
+        return structure, self.predict_structure(structure)
+
+    def predict_batch(self, structures: list) -> list:
+        """Predict a list of structure records, grouping into per-bucket
+        batches for throughput. Returns a list of [n_res_i, C] arrays."""
+        encoded = []
+        for i, s in enumerate(structures):
+            ps = encode_and_pad(s, feature_flags=self.cfg.feature_flags)
+            encoded.append((i, ps))
+        buckets: Dict[tuple, list] = {}
+        for i, ps in encoded:
+            buckets.setdefault((ps.X.shape[0], ps.M.shape[1]), []).append((i, ps))
+        out = [None] * len(structures)
+        for _, group in buckets.items():
+            batch = stack_batch([ps for _, ps in group])
+            probs = self.probabilities(batch)
+            for (i, ps), pb in zip(group, probs):
+                nr = int(np.sum(np.asarray(ps.res_mask)))
+                out[i] = pb[:nr]
+        return out

@@ -1,0 +1,72 @@
+"""Model configurations.
+
+Presets mirror the published reference variants (README.md:82-86 and the
+config.py snapshots under model/save/):
+
+  i_v4_1  flagship: 32 layers, nn schedule 8x(8,16,32,64), element-only
+          features (30-dim), 5 interface heads  (model/config.py:25-63)
+  i_v4_0  16 layers, 4x(8,16,32,64), element-only, 5 heads
+  i_v3_0  16 layers, element+resname+name features (123-dim), 5 heads
+  i_v3_1  like i_v3_0 with a single protein-protein head
+"""
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerConfig:
+    Ns: int = 32
+    Nh: int = 2
+    Nk: int = 3
+    nn: int = 8
+
+
+def _schedule(reps: int) -> Tuple[LayerConfig, ...]:
+    out = []
+    for nn in (8, 16, 32, 64):
+        out.extend([LayerConfig(nn=nn)] * reps)
+    return tuple(out)
+
+
+@dataclasses.dataclass(frozen=True)
+class PestoConfig:
+    # embedding MLP (em): N0 -> N1 features
+    em_n0: int = 30
+    em_n1: int = 32
+    # geometric state-update stack
+    layers: Tuple[LayerConfig, ...] = _schedule(8)
+    # atom->residue attention pool (spl)
+    spl_n0: int = 32
+    spl_n1: int = 32
+    spl_nh: int = 4
+    # decoder MLP (dm)
+    dm_n0: int = 32
+    dm_n1: int = 32
+    dm_n2: int = 5
+    # numerics
+    dtype: str = "float32"          # compute dtype: float32 | bfloat16
+    param_dtype: str = "float32"
+    precision: str = "highest"       # matmul precision: highest | default
+    remat: bool = True               # per-layer activation rematerialization
+
+    @property
+    def feature_flags(self):
+        # (qe, qr, qn) like the reference data handler feature selection
+        return (True, True, True) if self.em_n0 == 123 else (True, False, False)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+PRESETS = {
+    "i_v4_1": PestoConfig(),
+    "i_v4_0": PestoConfig(layers=_schedule(4)),
+    "i_v3_0": PestoConfig(em_n0=123, layers=_schedule(4)),
+    "i_v3_1": PestoConfig(em_n0=123, layers=_schedule(4), dm_n2=1),
+}
+
+
+def get_config(name: str = "i_v4_1", **overrides) -> PestoConfig:
+    cfg = PRESETS[name]
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,84 @@
+"""Torch checkpoint -> JAX parameter conversion.
+
+Maps the reference state_dict layout (model/model.py:6-30,
+src/model_operations.py:26-213; e.g. "sum.3.su.nqm.0.weight") onto the
+PestoModel parameter pytree. torch Linear stores [out, in]; flax Dense
+kernels are [in, out], so weights are transposed. The sdk buffer
+(sqrt(Nk), constant) and m_nn (arange) buffers are recomputed, not ported.
+"""
+
+from typing import Dict
+
+import numpy as np
+
+from .models.config import PestoConfig
+
+_MLP_IDX = {0: "Dense_0", 2: "Dense_1", 4: "Dense_2"}
+
+
+def torch_state_dict_to_params(state_dict, cfg: PestoConfig) -> Dict:
+    """Convert a reference torch state_dict (tensors or numpy arrays) into
+    a flax params dict for PestoModel(cfg)."""
+
+    def arr(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return np.asarray(t, dtype=np.float32)
+
+    params: Dict = {}
+
+    def put(path, kernel=None, bias=None):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        leaf = node.setdefault(path[-1], {})
+        if kernel is not None:
+            leaf["kernel"] = kernel
+        if bias is not None:
+            leaf["bias"] = bias
+
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if parts[-1] not in ("weight", "bias"):
+            continue  # sdk / m_nn buffers
+        is_weight = parts[-1] == "weight"
+        v = arr(value)
+        if is_weight:
+            v = v.T  # torch [out,in] -> flax [in,out]
+
+        if parts[0] == "em":
+            path = ("em", _MLP_IDX[int(parts[1])])
+        elif parts[0] == "sum":
+            i, mlp = int(parts[1]), parts[3]
+            if mlp == "ppm":
+                path = (f"sul_{i}", "su", "ppm")
+            else:
+                path = (f"sul_{i}", "su", mlp, _MLP_IDX[int(parts[4])])
+        elif parts[0] == "spl":
+            mlp = parts[1]
+            if mlp == "zdm_vec":
+                path = ("spl", "zdm_vec")
+            else:
+                path = ("spl", mlp, _MLP_IDX[int(parts[2])])
+        elif parts[0] == "dm":
+            path = ("dm", _MLP_IDX[int(parts[1])])
+        else:
+            raise KeyError(f"unrecognized reference parameter: {key}")
+
+        put(path, kernel=v if is_weight else None, bias=None if is_weight else v)
+
+    return params
+
+
+def load_reference_checkpoint(path: str, cfg: PestoConfig) -> Dict:
+    """Load a reference .pt checkpoint (requires torch, CPU-only)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return torch_state_dict_to_params(sd, cfg)
+
+
+def count_params(params) -> int:
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,155 @@
+"""Device-side geometry: kNN topology and contact detection (JAX/XLA).
+
+TPU-first re-design of the reference's dense N^2 topology extraction
+(reference src/data_encoding.py:87-102) and contact finder (:116-167):
+
+  - works on *padded* arrays with an atom-validity mask, so every shape is
+    static and one compile per size bucket serves all structures;
+  - the padded layout bakes in the reference's "sink" convention: row 0 is
+    the sink/padding slot, real atoms live at rows 1..n, and neighbor ids
+    are already indices into the padded array (so the reference's "+1
+    index shift" in collate_batch_features happens for free);
+  - row-blocked distance computation (lax.map over row tiles) keeps peak
+    memory at O(block * NA) instead of O(NA^2) for large buckets.
+
+Semantics matched to the reference:
+  - near-duplicate distances (< 1e-2 A) are pushed to max(D) before the
+    top-k, reproducing the self-distance masking trick
+    (src/data_encoding.py:93);
+  - neighbor slots beyond the number of real candidates resolve to the
+    sink id 0, like the zero-padding in collate_batch_features
+    (src/dataset.py:100-110).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sentinel distance for invalid pairs; large but far from f32 overflow
+_BIG = jnp.float32(1e10)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_block"))
+def knn_topology(Xp: jax.Array, atom_mask: jax.Array, k: int = 64, row_block: int = 512):
+    """Top-k nearest-neighbor topology on a padded structure.
+
+    Args:
+      Xp:        [NA, 3] float32 padded coordinates; row 0 is the sink.
+      atom_mask: [NA] float32/bool, 1 for real atoms (rows 1..n), 0 for the
+                 sink row and padding rows.
+      k:         number of neighbors (reference uses 64).
+      row_block: row tile size for the blocked distance computation.
+
+    Returns:
+      ids_topk:  [NA, k] int32 neighbor ids into the padded array; invalid
+                 slots (and all slots of invalid rows) are 0 (the sink).
+      D_topk:    [NA, k] float32 neighbor distances (0 for invalid slots).
+      R_topk:    [NA, k, 3] float32 unit displacement vectors (0 invalid).
+    """
+    NA = Xp.shape[0]
+    mask = atom_mask.astype(jnp.float32)
+    valid_col = mask[None, :]  # [1, NA]
+
+    def block_minmax(carry, xb_mb):
+        xb, mb = xb_mb
+        R = xb[:, None, :] - Xp[None, :, :]
+        D = jnp.sqrt(jnp.sum(R * R, axis=-1))
+        pair_ok = (mb[:, None] * valid_col) > 0
+        dmax = jnp.max(jnp.where(pair_ok, D, -jnp.inf))
+        return jnp.maximum(carry, dmax), None
+
+    nb = (NA + row_block - 1) // row_block
+    pad_rows = nb * row_block - NA
+    Xb = jnp.pad(Xp, ((0, pad_rows), (0, 0))).reshape(nb, row_block, 3)
+    Mb = jnp.pad(mask, (0, pad_rows)).reshape(nb, row_block)
+
+    # pass 1: global max distance over valid pairs (the reference's max(D))
+    Dmax, _ = jax.lax.scan(block_minmax, -jnp.inf, (Xb, Mb))
+    Dmax = jnp.maximum(Dmax, 0.0).astype(jnp.float32)
+
+    # pass 2: blocked top-k
+    def block_topk(xb, mb):
+        R = xb[:, None, :] - Xp[None, :, :]  # [rb, NA, 3]
+        D = jnp.sqrt(jnp.sum(R * R, axis=-1))  # [rb, NA]
+        pair_ok = (mb[:, None] * valid_col) > 0
+        D = D + Dmax * (D < 1e-2).astype(D.dtype)  # self/duplicate masking
+        D = jnp.where(pair_ok, D, _BIG)
+        neg_top, ids = jax.lax.top_k(-D, k)  # ascending distance
+        d_top = -neg_top
+        ok = d_top < (_BIG * 0.5)
+        ids = jnp.where(ok, ids, 0).astype(jnp.int32)
+        d_top = jnp.where(ok, d_top, 0.0)
+        r_top = jnp.take(Xp, ids, axis=0) - xb[:, None, :]
+        r_top = jnp.where(ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0)
+        return ids, d_top, r_top
+
+    ids, d_top, r_top = jax.lax.map(lambda a: block_topk(*a), (Xb, Mb))
+    ids = ids.reshape(nb * row_block, k)[:NA]
+    d_top = d_top.reshape(nb * row_block, k)[:NA]
+    r_top = r_top.reshape(nb * row_block, k, 3)[:NA]
+    return ids, d_top, r_top
+
+
+def extract_topology(X: np.ndarray, num_nn: int = 64):
+    """Reference-compatible topology on an *unpadded* structure.
+
+    Mirrors src/data_encoding.py:87-102: returns 0-based neighbor ids into
+    X (not the padded/sink convention), with k = min(num_nn, N).
+    Intended for host-side dataset construction and tests.
+    """
+    X = np.asarray(X, dtype=np.float32)
+    n = X.shape[0]
+    k = min(num_nn, n)
+    NA = n + 1
+    Xp = np.zeros((NA, 3), dtype=np.float32)
+    Xp[1:] = X
+    mask = np.zeros(NA, dtype=np.float32)
+    mask[1:] = 1.0
+    ids, d, r = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=k)
+    ids = np.asarray(ids)[1:] - 1  # back to 0-based raw indexing
+    ids = np.clip(ids, 0, n - 1)
+    return ids.astype(np.int64), np.asarray(d)[1:], np.asarray(r)[1:]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pairwise_contact_mask(Xi, Xj, r_thr):
+    D = jnp.sqrt(jnp.sum((Xi[:, None, :] - Xj[None, :, :]) ** 2, axis=-1))
+    return D, D < r_thr
+
+
+def locate_contacts(xyz_i: np.ndarray, xyz_j: np.ndarray, r_thr: float):
+    """Find inter-subunit atom pairs within r_thr (reference
+    src/data_encoding.py:116-135). Returns (ids_i, ids_j, d_ij) numpy."""
+    Xi = jnp.asarray(np.asarray(xyz_i, dtype=np.float32))
+    Xj = jnp.asarray(np.asarray(xyz_j, dtype=np.float32))
+    D, m = _pairwise_contact_mask(Xi, Xj, jnp.float32(r_thr))
+    m = np.asarray(m)
+    ids_i, ids_j = np.where(m)
+    d_ij = np.asarray(D)[ids_i, ids_j]
+    return ids_i, ids_j, d_ij
+
+
+def extract_all_contacts(subunits: dict, r_thr: float = 5.0) -> dict:
+    """All pairwise inter-subunit contacts, both directions
+    (reference src/data_encoding.py:138-167)."""
+    snames = list(subunits)
+    contacts = {}
+    for i in range(len(snames)):
+        cid_i = snames[i]
+        for j in range(i + 1, len(snames)):
+            cid_j = snames[j]
+            ids_i, ids_j, d_ij = locate_contacts(
+                subunits[cid_i]["xyz"], subunits[cid_j]["xyz"], r_thr
+            )
+            if ids_i.shape[0] > 0:
+                contacts.setdefault(cid_i, {})[cid_j] = {
+                    "ids": np.stack([ids_i, ids_j], axis=1),
+                    "d": d_ij,
+                }
+                contacts.setdefault(cid_j, {})[cid_i] = {
+                    "ids": np.stack([ids_j, ids_i], axis=1),
+                    "d": d_ij,
+                }
+    return contacts
