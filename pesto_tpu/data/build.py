@@ -1,0 +1,228 @@
+"""Dataset construction: PDB biounits -> reference-schema HDF5.
+
+Re-implements processing/build_dataset.py:16-254 on the TPU-native stack:
+parsing/cleaning on host (pure Python/numpy), contacts + kNN topology on
+device via jitted bucketed kernels.
+"""
+
+import re
+from typing import List, Optional
+
+import h5py
+import numpy as np
+
+from ..encoding import (
+    config_encoding,
+    encode_features,
+    encode_structure,
+)
+from ..structure import (
+    clean_structure,
+    filter_non_atomic_subunits,
+    remove_duplicate_tagged_subunits,
+    split_by_chain,
+    tag_hetatm_chains,
+)
+from ..topology import extract_all_contacts, extract_topology
+from .h5 import save_data, sparse_4d_indices, sparse_onehot_indices
+
+# contact-type vocabulary: the 79 molecule ids
+# (processing/build_dataset.py:21-29 == the interface category resnames)
+MOLECULE_IDS = np.array(
+    ["GLU", "LEU", "ALA", "ASP", "SER", "VAL", "GLY", "THR", "ARG", "PHE",
+     "TYR", "ILE", "PRO", "ASN", "LYS", "GLN", "HIS", "TRP", "MET", "CYS",
+     "A", "U", "G", "C", "DA", "DT", "DG", "DC", "MG", "ZN", "CL", "CA",
+     "NA", "MN", "K", "IOD", "CD", "CU", "FE", "NI", "SR", "BR", "CO",
+     "HG", "SO4", "NAG", "PO4", "EDO", "ACT", "MAN", "HEM", "FMT", "BMA",
+     "ADP", "FAD", "NAD", "NO3", "GLC", "ATP", "NAP", "BGC", "GDP", "FUC",
+     "FES", "FMN", "GAL", "GTP", "PLP", "MLI", "ANP", "H4B", "AMP", "NDP",
+     "SAH", "OXY", "PLM", "CLR", "CDL", "RET"]
+)
+
+DEFAULT_CONFIG = {
+    "r_thr": 5.0,
+    "max_num_atoms": 1024 * 8,
+    "max_num_nn": 64,
+    "molecule_ids": MOLECULE_IDS,
+}
+
+
+def contacts_types(s0, M0, s1, M1, ids, molecule_ids):
+    """Residue-residue contact-type map Y [nr0, nr1, T, T] and assembly
+    fingerprint T (processing/build_dataset.py:41-60), memory-light: Y is
+    built sparsely from the deduplicated residue pairs instead of a dense
+    4-D tensor."""
+    c0 = s0["resname"].reshape(-1, 1) == molecule_ids.reshape(1, -1)
+    c1 = s1["resname"].reshape(-1, 1) == molecule_ids.reshape(1, -1)
+
+    rids0 = np.where(M0[ids[:, 0]])[1]
+    rids1 = np.where(M1[ids[:, 1]])[1]
+
+    # type index per atom contact (or -1 when resname outside the vocab,
+    # matching the reference where such pairs never enter Y)
+    t0 = np.where(c0[ids[:, 0]].any(axis=1), c0[ids[:, 0]].argmax(axis=1), -1)
+    t1 = np.where(c1[ids[:, 1]].any(axis=1), c1[ids[:, 1]].argmax(axis=1), -1)
+
+    ok = (t0 >= 0) & (t1 >= 0)
+    quad = np.stack([rids0[ok], rids1[ok], t0[ok], t1[ok]], axis=1)
+    quad = np.unique(quad, axis=0)
+
+    T = np.zeros((molecule_ids.shape[0], molecule_ids.shape[0]), dtype=bool)
+    if quad.shape[0] > 0:
+        T[quad[:, 2], quad[:, 3]] = True
+
+    shape = (M0.shape[1], M1.shape[1], molecule_ids.shape[0], molecule_ids.shape[0])
+    return quad.astype(np.uint16), shape, T
+
+
+def pack_structure_data(X, qe, qr, qn, M, ids_topk):
+    return (
+        {
+            "X": np.asarray(X, dtype=np.float32),
+            "ids_topk": np.asarray(ids_topk, dtype=np.uint16),
+            "qe": sparse_onehot_indices(qe),
+            "qr": sparse_onehot_indices(qr),
+            "qn": sparse_onehot_indices(qn),
+            "M": sparse_onehot_indices(M),
+        },
+        {
+            "qe_shape": qe.shape, "qr_shape": qr.shape,
+            "qn_shape": qn.shape, "M_shape": M.shape,
+        },
+    )
+
+
+def _swap_quad(quad):
+    return quad[:, [1, 0, 3, 2]]
+
+
+def pack_dataset_items(subunits, contacts, molecule_ids, max_num_nn):
+    """Per-subunit features/topology + per-pair contact maps
+    (processing/build_dataset.py:85-140)."""
+    structures_data = {}
+    contacts_data = {}
+    for cid0 in contacts:
+        s0 = subunits[cid0]
+        qe0, qr0, qn0 = encode_features(s0)
+        X0, M0 = encode_structure(s0)
+        ids0_topk, _, _ = extract_topology(X0, max_num_nn)
+        structures_data[cid0] = pack_structure_data(X0, qe0, qr0, qn0, M0, ids0_topk)
+        contacts_data.setdefault(cid0, {})
+
+        for cid1 in contacts[cid0]:
+            contacts_data.setdefault(cid1, {})
+            if cid1 in contacts_data[cid0]:
+                continue
+            s1 = subunits[cid1]
+            _, M1 = encode_structure(s1)
+            quad, shape, T = contacts_types(
+                s0, M0, s1, M1, contacts[cid0][cid1]["ids"], molecule_ids
+            )
+            if quad.shape[0] > 0:
+                contacts_data[cid0][cid1] = (
+                    {"Y": quad},
+                    {"Y_shape": shape, "ctype": T},
+                )
+                shape_sw = (shape[1], shape[0], shape[3], shape[2])
+                contacts_data[cid1][cid0] = (
+                    {"Y": _swap_quad(quad)},
+                    {"Y_shape": shape_sw, "ctype": T.T},
+                )
+    return structures_data, contacts_data
+
+
+def store_dataset_items(hf, pdbid, bid, structures_data, contacts_data):
+    """Write groups + collect metadata (processing/build_dataset.py:143-173)."""
+    metadata_l = []
+    for cid0 in contacts_data:
+        key = f"{pdbid.upper()[1:3]}/{pdbid.upper()}/{bid}/{cid0}"
+        hgrp = hf.create_group(f"data/structures/{key}")
+        save_data(hgrp, attrs=structures_data[cid0][1], **structures_data[cid0][0])
+        for cid1 in contacts_data[cid0]:
+            ckey = f"{key}/{cid1}"
+            hgrp = hf.create_group(f"data/contacts/{ckey}")
+            save_data(hgrp, attrs=contacts_data[cid0][cid1][1], **contacts_data[cid0][cid1][0])
+            metadata_l.append(
+                {
+                    "key": key,
+                    "size": (np.max(structures_data[cid0][0]["M"], axis=0) + 1).astype(int),
+                    "ckey": ckey,
+                    "ctype": contacts_data[cid0][cid1][1]["ctype"],
+                }
+            )
+    return metadata_l
+
+
+def preprocess_for_build(structure):
+    """clean -> tag -> split -> filter (keeps duplicates check) with the
+    build pipeline's monomer rejection (processing/build_dataset.py:210-227)."""
+    structure = clean_structure(structure)
+    structure = tag_hetatm_chains(structure)
+    subunits = split_by_chain(structure)
+    subunits = filter_non_atomic_subunits(subunits)
+    if len(subunits) < 2:
+        return None
+    return remove_duplicate_tagged_subunits(subunits)
+
+
+def build_dataset_h5(
+    pdb_filepaths: List[str],
+    dataset_filepath: str,
+    config: Optional[dict] = None,
+    progress: bool = False,
+):
+    """Build a reference-schema dataset file from biounit PDBs."""
+    from ..io import read_pdb
+
+    cfg = dict(DEFAULT_CONFIG)
+    cfg.update(config or {})
+
+    it = pdb_filepaths
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(pdb_filepaths)
+        except ImportError:
+            pass
+
+    with h5py.File(dataset_filepath, "w", libver="latest") as hf:
+        for key in config_encoding:
+            hf[f"metadata/{key}"] = config_encoding[key].astype(np.bytes_)
+        hf["metadata/mids"] = cfg["molecule_ids"].astype(np.bytes_)
+
+        metadata_l = []
+        for pdb_filepath in it:
+            m = re.match(r".*/([a-zA-Z0-9]*)\.pdb([0-9]*)(\.gz)?$", str(pdb_filepath))
+            if m:
+                pdbid, bid = m[1], (m[2] or "1")
+            else:
+                pdbid, bid = str(pdb_filepath).split("/")[-1].split(".")[0], "1"
+
+            try:
+                structure = read_pdb(pdb_filepath)
+            except Exception as e:
+                print(f"ReadError: {pdb_filepath}: {e}")
+                continue
+            if structure["xyz"].shape[0] >= cfg["max_num_atoms"]:
+                continue
+            subunits = preprocess_for_build(structure)
+            if subunits is None:
+                continue
+            contacts = extract_all_contacts(subunits, cfg["r_thr"])
+            if len(contacts) == 0:
+                continue
+            structures_data, contacts_data = pack_dataset_items(
+                subunits, contacts, cfg["molecule_ids"], cfg["max_num_nn"]
+            )
+            metadata_l.extend(
+                store_dataset_items(hf, pdbid, bid, structures_data, contacts_data)
+            )
+
+        hf["metadata/keys"] = np.array([m["key"] for m in metadata_l]).astype(np.bytes_)
+        hf["metadata/sizes"] = np.array([m["size"] for m in metadata_l])
+        hf["metadata/ckeys"] = np.array([m["ckey"] for m in metadata_l]).astype(np.bytes_)
+        hf["metadata/ctypes"] = np.stack(
+            np.where(np.array([m["ctype"] for m in metadata_l])), axis=1
+        ).astype(np.uint32)
+    return len(metadata_l)

@@ -1,0 +1,28 @@
+"""Dataset selection filters over HDF5 metadata
+(reference src/dataset.py:8-47)."""
+
+import numpy as np
+
+
+def select_by_sid(dataset, sids_sel):
+    sids = np.array(
+        ["_".join([s.split(":")[0] for s in key.split("/")[1::2]]) for key in dataset.keys]
+    )
+    return np.isin(sids, np.asarray(sids_sel))
+
+
+def select_by_max_ba(dataset, max_ba):
+    aids = np.array([int(key.split("/")[2]) for key in dataset.keys])
+    return aids <= max_ba
+
+
+def select_complete_assemblies(dataset, m):
+    rmkeys = np.unique(dataset.keys[~m])
+    return ~np.isin(dataset.rkeys, rmkeys)
+
+
+def select_by_interface_types(dataset, l_types, r_types):
+    t0 = np.where(np.isin(dataset.mids, l_types))[0]
+    t1 = np.where(np.isin(dataset.mids, r_types))[0]
+    cm = np.isin(dataset.ctypes[:, 1], t0) & np.isin(dataset.ctypes[:, 2], t1)
+    return np.isin(np.arange(dataset.keys.shape[0]), dataset.ctypes[cm, 0])

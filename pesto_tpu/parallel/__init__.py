@@ -1,0 +1,12 @@
+from .mesh import make_mesh, batch_sharding, replicated_sharding
+from .dp import make_dp_train_step, make_dp_eval_step, shard_batch, replicate_state
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "make_dp_train_step",
+    "make_dp_eval_step",
+    "shard_batch",
+    "replicate_state",
+]

@@ -1,0 +1,33 @@
+"""Synthetic padded structures for benchmarks, dry-runs and tests."""
+
+import numpy as np
+
+from .batching import PaddedStructure, compute_topology, pad_structure_arrays
+
+
+def random_padded_structure(
+    n_atoms: int = 50,
+    n_res: int = 12,
+    n_classes: int = 5,
+    n_features: int = 30,
+    na: int = None,
+    nr: int = None,
+    seed: int = 0,
+    with_labels: bool = False,
+    with_topology: bool = True,
+) -> PaddedStructure:
+    """A random protein-like point cloud (realistic ~0.1 atoms/A^3 density)
+    padded into a bucket, with optional random labels."""
+    rng = np.random.RandomState(seed)
+    box = max((n_atoms / 0.1) ** (1.0 / 3.0), 10.0)
+    X = (rng.rand(n_atoms, 3) * box).astype(np.float32)
+    q = np.eye(n_features, dtype=np.float32)[rng.randint(0, n_features, n_atoms)]
+    resid = np.sort(rng.randint(0, n_res, n_atoms))
+    resid[0] = 0
+    resid[-1] = n_res - 1
+    M = (resid[:, None] == np.arange(n_res)[None, :]).astype(np.float32)
+    y = (rng.rand(n_res, n_classes) < 0.2).astype(np.float32) if with_labels else None
+    ps = pad_structure_arrays(X, q, M, na=na, nr=nr, y=y)
+    if with_topology:
+        ps = compute_topology(ps)
+    return ps

@@ -1,0 +1,67 @@
+"""Orbax checkpointing of the full train state (params + optimizer moments
++ pos_ratios + global_step), plus the reference's run-dir snapshot
+semantics (model/main.py:216-218 saves model_ckpt.pt; the reference loses
+optimizer state on resume — we keep it)."""
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None, keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    step = int(state.global_step) if step is None else int(step)
+    with ocp.CheckpointManager(
+        ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    ) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        mgr.wait_until_finished()
+    return step
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(os.path.abspath(ckpt_dir)) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None):
+    """Restore into the structure of state_template; returns None if no
+    checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        target = jax.device_get(state_template)
+        return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+def save_config_snapshot(output_dir: str, **configs):
+    """Reference runs snapshot their config into the run dir
+    (model/save/*/config.py); we store JSON."""
+    os.makedirs(output_dir, exist_ok=True)
+
+    def _default(o):
+        if hasattr(o, "__dataclass_fields__"):
+            import dataclasses
+
+            return dataclasses.asdict(o)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return str(o)
+
+    with open(os.path.join(output_dir, "run_config.json"), "w") as f:
+        json.dump(configs, f, indent=2, default=_default)

@@ -1,0 +1,225 @@
+"""Full training runtime (the reference's model/main.py:103-255, rebuilt
+for bucketed batches + a device mesh).
+
+Differences by design:
+  - batches are padded same-bucket stacks (batch_size >> 1) instead of
+    ragged single structures;
+  - eval is pure (does not advance pos_ratios);
+  - orbax checkpoints carry optimizer moments + pos_ratios + step, so a
+    resume is exact (the reference reconstructs pos_ratios from log lines
+    and drops Adam moments);
+  - with more than one device, the step runs data-parallel over the mesh.
+"""
+
+import dataclasses
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..data.dataset import H5Dataset
+from ..data.loader import BucketedLoader
+from ..data.selection import select_by_interface_types, select_by_max_ba, select_by_sid
+from ..encoding import categ_to_resnames
+from ..metrics import bc_score_names, bc_scoring, nanmean
+from ..models import PestoConfig, get_config
+from .checkpoint import restore_checkpoint, save_checkpoint, save_config_snapshot
+from .logger import Logger
+from .state import create_train_state
+from .step import make_eval_step, make_train_step
+
+
+def default_r_types():
+    return [
+        categ_to_resnames["protein"],
+        categ_to_resnames["dna"] + categ_to_resnames["rna"],
+        categ_to_resnames["ion"],
+        categ_to_resnames["ligand"],
+        categ_to_resnames["lipid"],
+    ]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data (reference config_data, model/config.py:6-23)
+    dataset_filepath: str = "datasets/contacts_rr5A_64nn_8192.h5"
+    train_selection_filepath: Optional[str] = None
+    test_selection_filepath: Optional[str] = None
+    max_ba: int = 1
+    max_size: int = 1024 * 8
+    min_num_res: int = 48
+    l_types: Sequence[str] = tuple(categ_to_resnames["protein"])
+    r_types: Sequence[Sequence[str]] = tuple(tuple(r) for r in default_r_types())
+
+    # runtime (reference config_runtime, model/config.py:68-81)
+    num_epochs: int = 100
+    learning_rate: float = 1e-5
+    pos_weight_factor: float = 0.5
+    log_step: int = 1024
+    eval_step: int = 1024 * 8
+    eval_size: int = 1024
+    reload: bool = True
+
+    # TPU batching
+    atoms_per_batch: int = 16384
+    max_batch: int = 32
+    seed: int = 0
+    use_mesh: bool = True
+
+
+def setup_dataset(tc: TrainConfig, selection_filepath: Optional[str], features_flags):
+    ds = H5Dataset(tc.dataset_filepath, features_flags=features_flags)
+    m = np.ones(len(ds.keys), dtype=bool)
+    if selection_filepath:
+        sids_sel = np.genfromtxt(selection_filepath, dtype=np.dtype("U"))
+        m &= select_by_sid(ds, sids_sel)
+    m &= select_by_max_ba(ds, tc.max_ba)
+    m &= ds.sizes[:, 0] <= tc.max_size
+    m &= ds.sizes[:, 1] >= tc.min_num_res
+    m &= select_by_interface_types(ds, list(tc.l_types), np.concatenate([list(r) for r in tc.r_types]))
+    ds.update_mask(m)
+    ds.set_types(list(tc.l_types), [list(r) for r in tc.r_types])
+    return ds
+
+
+def _per_structure_scores(batch, p):
+    """bc_scoring per structure in a padded batch (reference scores per
+    ragged batch, model/main.py:61-79)."""
+    scores = []
+    y = np.asarray(batch.y)
+    rm = np.asarray(batch.res_mask)
+    p = np.asarray(p)
+    for b in range(y.shape[0]):
+        nr = int(rm[b].sum())
+        if nr > 0:
+            scores.append(bc_scoring(y[b, :nr], p[b, :nr]))
+    return scores
+
+
+def _aggregate(results):
+    """results: list of (losses [C], scores list [8,C]) -> flat score dict
+    (reference scoring(), model/main.py:61-79)."""
+    losses = np.mean(np.stack([r[0] for r in results]), axis=0)
+    all_scores = [s for r in results for s in r[1]]
+    m_scores = nanmean(np.stack(all_scores), axis=0)
+    out = {"loss": float(np.sum(losses))}
+    for i in range(losses.shape[0]):
+        out[f"{i}/loss"] = float(losses[i])
+        for j, name in enumerate(bc_score_names):
+            out[f"{i}/{name}"] = float(m_scores[j, i])
+    return out
+
+
+def _log_scores(logger, scores, global_step, pos_ratios, step_type):
+    pr_str = ", ".join(f"{r:.4f}" for r in np.asarray(pos_ratios))
+    logger.print(f"{step_type}> [{global_step}] loss={scores['loss']:.4f}, pos_ratios=[{pr_str}]")
+    stats = {k: v for k, v in scores.items() if not np.isnan(v)}
+    stats["global_step"] = int(global_step)
+    stats["pos_ratios"] = list(np.asarray(pos_ratios).astype(float))
+    stats["step_type"] = step_type
+    logger.store(**stats)
+
+
+def train(
+    model_cfg: PestoConfig,
+    tc: TrainConfig,
+    output_dir: str,
+    init_params_from: Optional[dict] = None,
+) -> None:
+    logger = Logger(output_dir, "train")
+    logger.print(">>> Configuration")
+    logger.print(str(dataclasses.asdict(tc)))
+    save_config_snapshot(output_dir, model=model_cfg, train=tc)
+
+    state, tx = create_train_state(
+        model_cfg, learning_rate=tc.learning_rate,
+        rng=jax.random.PRNGKey(tc.seed), params=init_params_from,
+    )
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+    logger.print(f"> {n_params} parameters")
+
+    ckpt_dir = os.path.join(output_dir, "ckpt")
+    best_dir = os.path.join(output_dir, "best")
+    if tc.reload:
+        restored = restore_checkpoint(ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            logger.print(f"Reloaded checkpoint at step {int(state.global_step)}")
+
+    logger.print(">>> Loading data")
+    ds_train = setup_dataset(tc, tc.train_selection_filepath, model_cfg.feature_flags)
+    ds_test = setup_dataset(tc, tc.test_selection_filepath, model_cfg.feature_flags)
+    logger.print(f"> training data size: {len(ds_train)}")
+    logger.print(f"> testing data size: {len(ds_test)}")
+
+    loader_train = BucketedLoader(
+        ds_train, ds_train.sizes_selected(),
+        atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
+        shuffle=True, seed=tc.seed,
+    )
+    loader_test = BucketedLoader(
+        ds_test, ds_test.sizes_selected(),
+        atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
+        shuffle=False, seed=tc.seed,
+    )
+
+    n_dev = len(jax.devices())
+    if tc.use_mesh and n_dev > 1:
+        from ..parallel import make_dp_train_step, make_dp_eval_step, make_mesh, replicate_state, shard_batch
+
+        mesh = make_mesh()
+        train_step = make_dp_train_step(model_cfg, tx, mesh, tc.pos_weight_factor, donate=False)
+        eval_step = make_dp_eval_step(model_cfg, mesh, tc.pos_weight_factor)
+        state = replicate_state(state, mesh)
+        put = lambda b: shard_batch(b, mesh)
+        logger.print(f"> data-parallel over {n_dev} devices")
+    else:
+        train_step = make_train_step(model_cfg, tx, tc.pos_weight_factor, donate=False)
+        eval_step = make_eval_step(model_cfg, tc.pos_weight_factor)
+        put = lambda b: b
+
+    logger.print(">>> Starting training")
+    logger.restart_timer()
+    min_loss = 1e9
+    train_results = []
+    t_last, steps_last = time.time(), int(state.global_step)
+
+    for epoch in range(tc.num_epochs):
+        for batch in loader_train:
+            batch = put(batch)
+            state, out = train_step(state, batch)
+            global_step = int(state.global_step)
+            train_results.append(
+                (np.asarray(out["losses"]), _per_structure_scores(batch, out["p"]))
+            )
+
+            if (global_step + 1) % tc.log_step == 0:
+                scores = _aggregate(train_results)
+                train_results = []
+                dt = time.time() - t_last
+                sps = (global_step - steps_last) / max(dt, 1e-9)
+                t_last, steps_last = time.time(), global_step
+                scores["steps_per_sec"] = sps
+                _log_scores(logger, scores, global_step, state.pos_ratios, "train")
+                save_checkpoint(ckpt_dir, state)
+
+            if (global_step + 1) % tc.eval_step == 0:
+                test_results = []
+                for it, tb in enumerate(loader_test):
+                    tb = put(tb)
+                    o = eval_step(state, tb)
+                    test_results.append(
+                        (np.asarray(o["losses"]), _per_structure_scores(tb, o["p"]))
+                    )
+                    if it >= tc.eval_size:
+                        break
+                scores = _aggregate(test_results)
+                _log_scores(logger, scores, global_step, state.pos_ratios, "test")
+                if scores["loss"] <= min_loss:
+                    min_loss = scores["loss"]
+                    logger.print(f"> saving best model (loss {min_loss:.4f})")
+                    save_checkpoint(best_dir, state, keep=1)
+        logger.print(f"epoch {epoch + 1}/{tc.num_epochs} done")

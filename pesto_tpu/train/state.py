@@ -1,0 +1,52 @@
+"""Train state: parameters, optimizer state, and the dynamic class-balance
+running statistic (pos_ratios) carried as device state.
+
+The reference keeps pos_ratios as a mutable tensor updated in-place
+(model/main.py:50) and recovers it from the last log line on restart
+(:131); here it is an explicit field of the train state, checkpointed with
+everything else (optimizer moments included — the reference loses Adam
+moments on resume, we don't)."""
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import PestoConfig, PestoModel
+from ..models.pesto import init_params
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    pos_ratios: jax.Array  # [C] running positive fraction per class
+    global_step: jax.Array  # scalar int32
+
+    def apply_gradients(self, tx, grads):
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+        )
+
+
+def create_train_state(
+    cfg: PestoConfig,
+    learning_rate: float = 1e-5,
+    rng: jax.Array = None,
+    params: Any = None,
+) -> tuple:
+    """Returns (state, optimizer). Pass ported params to fine-tune."""
+    tx = optax.adam(learning_rate)
+    if params is None:
+        params = init_params(cfg, rng)
+    state = TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        pos_ratios=0.5 * jnp.ones(cfg.dm_n2, dtype=jnp.float32),
+        global_step=jnp.zeros((), dtype=jnp.int32),
+    )
+    return state, tx

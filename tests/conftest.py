@@ -4,10 +4,19 @@ multi-chip path)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# force CPU for tests even when a TPU platform is preconfigured (the site
+# customization imports jax before conftest, so the env var alone is too
+# late — use the runtime config). The driver benchmarks on real TPU
+# separately; set PESTO_TEST_TPU=1 to run tests on the TPU backend.
+if not os.environ.get("PESTO_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,174 @@
+"""Data layer: HDF5 build -> read roundtrip, label semantics, loader."""
+
+import numpy as np
+import pytest
+
+from pesto_tpu.data import H5Dataset, load_sparse_mask, sparse_onehot_indices
+from pesto_tpu.data.build import MOLECULE_IDS, build_dataset_h5, contacts_types
+from pesto_tpu.data.dataset import load_interface_labels
+from pesto_tpu.data.loader import BucketedLoader
+from pesto_tpu.encoding import categ_to_resnames
+from pesto_tpu.io import save_pdb
+from pesto_tpu.structure import split_by_chain
+
+
+def _two_chain_pdb(tmp_path, name="1abc.pdb1"):
+    """Synthetic complex: two protein helices within contact distance,
+    plus an ion."""
+    rng = np.random.RandomState(0)
+    n_res, atoms_per_res = 52, 5
+    n = n_res * atoms_per_res
+
+    def chain(offset):
+        xyz = []
+        for r in range(n_res):
+            base = np.array([r * 1.6, offset, 0.0])
+            for a in range(atoms_per_res):
+                xyz.append(base + rng.rand(3))
+        return np.array(xyz, dtype=np.float32)
+
+    names = np.tile(["N", "CA", "C", "O", "CB"], n_res)
+    elements = np.tile(["N", "C", "C", "O", "C"], n_res)
+    resnames = np.repeat(
+        np.array(list(categ_to_resnames["protein"]))[rng.randint(0, 20, n_res)], atoms_per_res
+    )
+    resids = np.repeat(np.arange(1, n_res + 1), atoms_per_res)
+    su = {}
+    for cid, off in [("A", 0.0), ("B", 4.0)]:
+        su[cid] = {
+            "xyz": chain(off),
+            "name": names,
+            "element": elements,
+            "resname": resnames,
+            "resid": resids,
+            "het_flag": np.array(["A"] * n),
+        }
+    su["C"] = {
+        "xyz": np.array([[0.0, 2.0, 0.0]], dtype=np.float32),
+        "name": np.array(["ZN"]),
+        "element": np.array(["Zn"]),
+        "resname": np.array(["ZN"]),
+        "resid": np.array([1]),
+        "het_flag": np.array(["H"]),
+    }
+    path = tmp_path / name
+    save_pdb(su, str(path))
+    return str(path)
+
+
+def test_sparse_codec_roundtrip(tmp_path):
+    import h5py
+
+    rng = np.random.RandomState(0)
+    M = (rng.rand(40, 10) < 0.2).astype(np.float32)
+    with h5py.File(tmp_path / "t.h5", "w") as hf:
+        g = hf.create_group("g")
+        g.create_dataset("M", data=sparse_onehot_indices(M))
+        g.attrs["M_shape"] = M.shape
+    with h5py.File(tmp_path / "t.h5", "r") as hf:
+        M2 = load_sparse_mask(hf["g"], "M")
+    np.testing.assert_array_equal(M, M2)
+
+
+def test_contacts_types_matches_reference_oracle():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(1)
+    n0, n1, r0, r1 = 30, 25, 6, 5
+    prot = np.array(list(categ_to_resnames["protein"]))
+    s0 = {"resname": np.repeat(prot[rng.randint(0, 20, r0)], 5)}
+    s1 = {"resname": np.repeat(prot[rng.randint(0, 20, r1)], 5)}
+    M0 = np.zeros((n0, r0), dtype=np.float32)
+    M0[np.arange(n0), np.repeat(np.arange(r0), 5)] = 1
+    M1 = np.zeros((n1, r1), dtype=np.float32)
+    M1[np.arange(n1), np.repeat(np.arange(r1), 5)] = 1
+    ids = np.stack([rng.randint(0, n0, 40), rng.randint(0, n1, 40)], axis=1)
+
+    quad, shape, T = contacts_types(s0, M0, s1, M1, ids, MOLECULE_IDS)
+
+    # reference oracle (dense 4-D construction, torch)
+    c0 = torch.from_numpy(s0["resname"].reshape(-1, 1) == MOLECULE_IDS.reshape(1, -1))
+    c1 = torch.from_numpy(s1["resname"].reshape(-1, 1) == MOLECULE_IDS.reshape(1, -1))
+    idt = torch.from_numpy(ids)
+    H = c1[idt[:, 1]].unsqueeze(1) & c0[idt[:, 0]].unsqueeze(2)
+    rids0 = torch.where(torch.from_numpy(M0)[idt[:, 0]])[1]
+    rids1 = torch.where(torch.from_numpy(M1)[idt[:, 1]])[1]
+    Y = torch.zeros((r0, r1, len(MOLECULE_IDS), len(MOLECULE_IDS)), dtype=torch.bool)
+    Y[rids0, rids1] = H
+    T_ref = torch.any(torch.any(Y, dim=1), dim=0)
+
+    ref_quad = np.stack(np.where(Y.numpy()), axis=1)
+    ours = set(map(tuple, quad.astype(int)))
+    theirs = set(map(tuple, ref_quad))
+    assert ours == theirs
+    np.testing.assert_array_equal(T, T_ref.numpy())
+    assert shape == tuple(Y.shape)
+
+
+def test_build_and_read_dataset(tmp_path):
+    pdb = _two_chain_pdb(tmp_path)
+    h5_path = str(tmp_path / "mini.h5")
+    n = build_dataset_h5([pdb], h5_path, progress=False)
+    assert n > 0
+
+    ds = H5Dataset(h5_path, features_flags=(True, True, True))
+    assert len(ds.keys) == n
+    assert len(ds) >= 2  # at least subunits A and B have contacts
+    ds.set_types(
+        categ_to_resnames["protein"],
+        [categ_to_resnames["protein"],
+         categ_to_resnames["dna"] + categ_to_resnames["rna"],
+         categ_to_resnames["ion"],
+         categ_to_resnames["ligand"],
+         categ_to_resnames["lipid"]],
+    )
+    X, ids_topk, q, M, y = ds[0]
+    na = X.shape[0]
+    assert ids_topk.shape == (na, 64)
+    assert q.shape == (na, 30 + 29 + 64)
+    assert M.shape[0] == na
+    assert y.shape == (M.shape[1], 5)
+    # chains are in contact -> protein-class labels present
+    assert y[:, 0].sum() > 0
+    # the Zn ion touches chain A -> ion labels on at least one subunit
+    ion_any = any(ds[i][4][:, 2].sum() > 0 for i in range(len(ds)))
+    assert ion_any
+
+
+def test_interface_labels_unmatched_rows_ignored(tmp_path):
+    """Rows whose type-pair matches no class are skipped (the reference
+    crashes here; see data/dataset.py docstring)."""
+    import h5py
+
+    with h5py.File(tmp_path / "y.h5", "w") as hf:
+        g = hf.create_group("c")
+        Y = np.array([[0, 0, 5, 10], [1, 0, 70, 10], [2, 0, 5, 20]], dtype=np.uint16)
+        g.create_dataset("Y", data=Y)
+        g.attrs["Y_shape"] = (4, 2, 79, 79)
+    with h5py.File(tmp_path / "y.h5", "r") as hf:
+        y = load_interface_labels(hf["c"], np.array([5]), [np.array([10]), np.array([20])])
+    expected = np.zeros((4, 2), dtype=bool)
+    expected[0, 0] = True
+    expected[2, 1] = True
+    np.testing.assert_array_equal(y, expected)
+
+
+def test_bucketed_loader(tmp_path):
+    pdb = _two_chain_pdb(tmp_path)
+    h5_path = str(tmp_path / "mini2.h5")
+    build_dataset_h5([pdb], h5_path, progress=False)
+    ds = H5Dataset(h5_path)
+    ds.set_types(categ_to_resnames["protein"], [categ_to_resnames["protein"]])
+
+    loader = BucketedLoader(ds, ds.sizes_selected(), atoms_per_batch=4096, prefetch=0)
+    batches = list(loader)
+    assert len(batches) >= 1
+    total = sum(int(np.sum(np.asarray(b.atom_mask) > 0)) for b in batches)
+    expected_atoms = sum(int(a) for a, _ in ds.sizes_selected())
+    assert total == expected_atoms
+    for b in batches:
+        assert b.y is not None
+        assert b.X.ndim == 3
+        # neighbor ids must be consistent with the sink convention
+        ids = np.asarray(b.ids_topk)
+        am = np.asarray(b.atom_mask)
+        assert np.all(ids[am == 0] == 0)
