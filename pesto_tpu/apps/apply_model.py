@@ -1,0 +1,111 @@
+"""Interface-prediction CLI: folder of PDBs -> per-class *_i{k}.pdb files
+with predictions in the B-factor column.
+
+The reference's apply_model.ipynb cell 6 as a batch-throughput tool: all
+structures are encoded host-side, grouped into padding buckets, and
+predicted in batched jitted calls.
+
+Usage:
+  python -m pesto_tpu.apps.apply_model INPUT... --out DIR \
+      [--ckpt /path/model.pt | --orbax /path/ckpt] [--model i_v4_1] [--bf16]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def collect_pdbs(inputs):
+    paths = []
+    for inp in inputs:
+        if os.path.isdir(inp):
+            for pat in ("*.pdb", "*.pdb[0-9]*", "*.pdb.gz", "*.pdb[0-9]*.gz"):
+                paths.extend(glob.glob(os.path.join(inp, pat)))
+        else:
+            paths.extend(glob.glob(inp))
+    # drop our own outputs
+    return sorted({p for p in paths if "_i" not in os.path.basename(p).split(".")[0][-3:]})
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("inputs", nargs="+", help="PDB files, globs, or directories")
+    parser.add_argument("--out", default=None, help="output dir (default: next to input)")
+    parser.add_argument("--model", default="i_v4_1", help="config preset name")
+    parser.add_argument("--ckpt", default=None, help="reference torch .pt checkpoint")
+    parser.add_argument("--orbax", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--classes", default=None, help="comma list of class indices to write")
+    args = parser.parse_args(argv)
+
+    from ..infer import Predictor
+    from ..io import read_pdb, save_pdb
+    from ..models import get_config
+    from ..structure import (
+        concatenate_chains,
+        encode_bfactor,
+        preprocess_structure,
+        split_by_chain,
+    )
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = get_config(args.model, remat=False)
+    if args.bf16:
+        cfg = cfg.replace(dtype="bfloat16", precision="default")
+
+    if args.ckpt:
+        pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+    elif args.orbax:
+        from ..models.pesto import init_params
+        from ..train.checkpoint import restore_checkpoint
+        from ..train.state import create_train_state
+
+        state, _ = create_train_state(cfg)
+        restored = restore_checkpoint(args.orbax, state)
+        if restored is None:
+            parser.error(f"no checkpoint found in {args.orbax}")
+        pred = Predictor(cfg, restored.params)
+    else:
+        default_ckpt = "/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt"
+        if os.path.isfile(default_ckpt) and args.model == "i_v4_0":
+            pred = Predictor.from_reference_checkpoint(default_ckpt, cfg)
+        else:
+            parser.error("need --ckpt or --orbax")
+
+    paths = collect_pdbs(args.inputs)
+    if not paths:
+        parser.error("no input PDBs found")
+    classes = (
+        [int(c) for c in args.classes.split(",")] if args.classes else list(range(cfg.dm_n2))
+    )
+
+    # host-side parse/clean, then bucketed batch prediction
+    structures, keep_paths = [], []
+    for path in paths:
+        try:
+            subunits = preprocess_structure(read_pdb(path))
+            structures.append(concatenate_chains(subunits))
+            keep_paths.append(path)
+        except Exception as e:
+            print(f"ReadError: {path}: {e}", file=sys.stderr)
+
+    probs = pred.predict_batch(structures)
+
+    for path, structure, p in zip(keep_paths, structures, probs):
+        base = os.path.basename(path).split(".")[0]
+        out_dir = args.out or os.path.dirname(path) or "."
+        os.makedirs(out_dir, exist_ok=True)
+        for k in classes:
+            s = encode_bfactor(dict(structure), p[:, k])
+            out_path = os.path.join(out_dir, f"{base}_i{k}.pdb")
+            save_pdb(split_by_chain(s), out_path)
+        print(f"{path}: {p.shape[0]} residues -> {out_dir}/{base}_i*.pdb")
+
+
+if __name__ == "__main__":
+    main()

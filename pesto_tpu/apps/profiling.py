@@ -1,0 +1,100 @@
+"""Per-structure stage-timing harness (the reference's profiling.py:31-123):
+times load / process / run for each input structure and writes a CSV
+compatible with interface_ppi_profiling_analysis.
+
+Usage:
+  python -m pesto_tpu.apps.profiling INPUTS... --out results.csv \
+      [--model i_v4_0 --ckpt model.pt] [--min-atoms 64 --max-atoms 8192]
+"""
+
+import argparse
+import csv
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("inputs", nargs="+")
+    parser.add_argument("--out", default="profiling.csv")
+    parser.add_argument("--model", default="i_v4_0")
+    parser.add_argument("--ckpt", default="/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt")
+    parser.add_argument("--min-atoms", type=int, default=64)
+    parser.add_argument("--max-atoms", type=int, default=8192)
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from ..batching import encode_and_pad
+    from ..infer import Predictor
+    from ..io import read_pdb
+    from ..models import get_config
+    from ..structure import concatenate_chains, preprocess_structure
+    from ..utils import enable_compilation_cache
+    from .apply_model import collect_pdbs
+
+    enable_compilation_cache()
+    cfg = get_config(args.model, remat=False)
+    pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+
+    paths = collect_pdbs(args.inputs)
+    if args.limit:
+        paths = paths[: args.limit]
+
+    rows = []
+    for path in paths:
+        try:
+            t0 = time.perf_counter()
+            structure = read_pdb(path)
+            t_load = time.perf_counter() - t0
+
+            n_atoms_raw = structure["xyz"].shape[0]
+            if not (args.min_atoms <= n_atoms_raw <= args.max_atoms):
+                continue
+
+            t0 = time.perf_counter()
+            subunits = preprocess_structure(structure)
+            merged = concatenate_chains(subunits)
+            ps = encode_and_pad(merged, feature_flags=cfg.feature_flags)
+            jax.block_until_ready(ps.ids_topk)
+            t_process = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            p = pred.probabilities(ps)
+            t_run = time.perf_counter() - t0
+
+            rows.append(
+                {
+                    "pdb_filepath": path,
+                    "size": merged["xyz"].shape[0],
+                    "num_res": p.shape[0],
+                    "bucket": ps.X.shape[0],
+                    "t_load": t_load,
+                    "t_process": t_process,
+                    "t_run": t_run,
+                }
+            )
+        except Exception as e:
+            print(f"error: {path}: {e}", file=sys.stderr)
+
+    with open(args.out, "w", newline="") as f:
+        writer = csv.DictWriter(
+            f, fieldnames=["pdb_filepath", "size", "num_res", "bucket", "t_load", "t_process", "t_run"]
+        )
+        writer.writeheader()
+        writer.writerows(rows)
+
+    if rows:
+        tr = np.array([r["t_run"] for r in rows])
+        sz = np.array([r["size"] for r in rows])
+        print(
+            f"{len(rows)} structures; run-stage median {np.median(tr)*1e3:.1f} ms, "
+            f"throughput {sz.sum()/tr.sum():.0f} atoms/s (excl. first-compile)"
+        )
+
+
+if __name__ == "__main__":
+    main()

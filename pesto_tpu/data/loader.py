@@ -41,6 +41,7 @@ class BucketedLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        batch_multiple: int = 1,
     ):
         self.dataset = dataset
         self.sizes = np.asarray(sizes)
@@ -53,6 +54,7 @@ class BucketedLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.batch_multiple = batch_multiple
         self.epoch = 0
 
         # precompute bucket assignment per item
@@ -64,7 +66,9 @@ class BucketedLoader:
         )
 
     def _batch_size_for(self, na: int) -> int:
-        return int(np.clip(self.atoms_per_batch // na, self.min_batch, self.max_batch))
+        b = int(np.clip(self.atoms_per_batch // na, self.min_batch, self.max_batch))
+        m = self.batch_multiple
+        return max(m, (b // m) * m) if m > 1 else b
 
     def _plan(self) -> list:
         """Group item indices into same-bucket batches for this epoch."""
@@ -96,6 +100,26 @@ class BucketedLoader:
             padded.append(
                 pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
             )
+        # pad to the mesh multiple with fully-masked dummy structures so the
+        # batch axis always shards evenly; dummies carry zero res_mask and
+        # contribute nothing to loss or metrics
+        m = self.batch_multiple
+        if m > 1 and len(padded) % m:
+            import jax.numpy as jnp
+            import dataclasses as _dc
+
+            tmpl = padded[0]
+            dummy = _dc.replace(
+                tmpl,
+                X=jnp.zeros_like(tmpl.X),
+                ids_topk=jnp.zeros_like(tmpl.ids_topk),
+                q=jnp.zeros_like(tmpl.q),
+                M=jnp.zeros_like(tmpl.M),
+                atom_mask=jnp.zeros_like(tmpl.atom_mask),
+                res_mask=jnp.zeros_like(tmpl.res_mask),
+                y=jnp.zeros_like(tmpl.y) if tmpl.y is not None else None,
+            )
+            padded.extend([dummy] * (m - len(padded) % m))
         return stack_batch(padded)
 
     def __iter__(self) -> Iterator[PaddedStructure]:

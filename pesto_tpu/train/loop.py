@@ -112,7 +112,7 @@ def _aggregate(results):
     return out
 
 
-def _log_scores(logger, scores, global_step, pos_ratios, step_type):
+def _log_scores(logger, scores, global_step, pos_ratios, step_type, tb_writer=None):
     pr_str = ", ".join(f"{r:.4f}" for r in np.asarray(pos_ratios))
     logger.print(f"{step_type}> [{global_step}] loss={scores['loss']:.4f}, pos_ratios=[{pr_str}]")
     stats = {k: v for k, v in scores.items() if not np.isnan(v)}
@@ -120,6 +120,10 @@ def _log_scores(logger, scores, global_step, pos_ratios, step_type):
     stats["pos_ratios"] = list(np.asarray(pos_ratios).astype(float))
     stats["step_type"] = step_type
     logger.store(**stats)
+    if tb_writer is not None:
+        for key, v in scores.items():
+            if not np.isnan(v):
+                tb_writer.add_scalar(f"{step_type}/{key}", v, global_step)
 
 
 def train(
@@ -155,18 +159,18 @@ def train(
     logger.print(f"> training data size: {len(ds_train)}")
     logger.print(f"> testing data size: {len(ds_test)}")
 
+    n_dev = len(jax.devices())
+    batch_multiple = n_dev if (tc.use_mesh and n_dev > 1) else 1
     loader_train = BucketedLoader(
         ds_train, ds_train.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
-        shuffle=True, seed=tc.seed,
+        shuffle=True, seed=tc.seed, batch_multiple=batch_multiple,
     )
     loader_test = BucketedLoader(
         ds_test, ds_test.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
-        shuffle=False, seed=tc.seed,
+        shuffle=False, seed=tc.seed, batch_multiple=batch_multiple,
     )
-
-    n_dev = len(jax.devices())
     if tc.use_mesh and n_dev > 1:
         from ..parallel import make_dp_train_step, make_dp_eval_step, make_mesh, replicate_state, shard_batch
 
@@ -180,6 +184,14 @@ def train(
         train_step = make_train_step(model_cfg, tx, tc.pos_weight_factor, donate=False)
         eval_step = make_eval_step(model_cfg, tc.pos_weight_factor)
         put = lambda b: b
+
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(output_dir, "tb"))
+    except Exception:
+        pass
 
     logger.print(">>> Starting training")
     logger.restart_timer()
@@ -203,7 +215,7 @@ def train(
                 sps = (global_step - steps_last) / max(dt, 1e-9)
                 t_last, steps_last = time.time(), global_step
                 scores["steps_per_sec"] = sps
-                _log_scores(logger, scores, global_step, state.pos_ratios, "train")
+                _log_scores(logger, scores, global_step, state.pos_ratios, "train", tb_writer)
                 save_checkpoint(ckpt_dir, state)
 
             if (global_step + 1) % tc.eval_step == 0:
@@ -217,7 +229,7 @@ def train(
                     if it >= tc.eval_size:
                         break
                 scores = _aggregate(test_results)
-                _log_scores(logger, scores, global_step, state.pos_ratios, "test")
+                _log_scores(logger, scores, global_step, state.pos_ratios, "test", tb_writer)
                 if scores["loss"] <= min_loss:
                     min_loss = scores["loss"]
                     logger.print(f"> saving best model (loss {min_loss:.4f})")
