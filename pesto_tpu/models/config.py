@@ -49,6 +49,9 @@ class PestoConfig:
     param_dtype: str = "float32"
     precision: str = "highest"       # matmul precision: highest | default
     remat: bool = True               # per-layer activation rematerialization
+    # scan identical-layer groups with lax.scan: ~G x smaller XLA program
+    # (the 32-layer stack compiles as 4 bodies), same math
+    scan_layers: bool = True
 
     @property
     def feature_flags(self):

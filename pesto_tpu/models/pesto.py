@@ -183,6 +183,35 @@ class StateUpdateLayer(nn.Module):
         return q, p
 
 
+def layer_groups(cfg: PestoConfig):
+    """Contiguous runs of identical layer configs (e.g. the flagship's
+    8x8, 8x16, 8x32, 8x64 neighbor schedule -> 4 groups)."""
+    groups = []
+    for lc in cfg.layers:
+        if groups and groups[-1][0] == lc:
+            groups[-1][1] += 1
+        else:
+            groups.append([lc, 1])
+    return [(lc, n) for lc, n in groups]
+
+
+class _ScanBody(nn.Module):
+    """StateUpdateLayer shaped for nn.scan: carry = (q, p), the topology
+    is threaded through unchanged."""
+
+    cfg: LayerConfig
+    dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    @nn.compact
+    def __call__(self, carry, _):
+        q, p, ids_topk, D_nn, R_nn, atom_mask = carry
+        q, p = StateUpdateLayer(self.cfg, self.dtype, self.precision, name="sul")(
+            q, p, ids_topk, D_nn, R_nn, atom_mask
+        )
+        return (q, p, ids_topk, D_nn, R_nn, atom_mask), None
+
+
 class StatePool(nn.Module):
     """Atom -> residue multi-head attention pooling over the membership
     mask M (reference StatePoolLayer, src/model_operations.py:171-213)."""
@@ -236,11 +265,22 @@ class PestoModel(nn.Module):
 
         D_nn, R_nn = unpack_state_features(X, ids_topk, atom_mask, n_real)
 
-        layer_cls = nn.remat(StateUpdateLayer) if cfg.remat else StateUpdateLayer
-        for i, lc in enumerate(cfg.layers):
-            q, p = layer_cls(lc, dtype, prec, name=f"sul_{i}")(
-                q, p, ids_topk, D_nn, R_nn, atom_mask
-            )
+        if cfg.scan_layers:
+            body = nn.remat(_ScanBody, prevent_cse=False) if cfg.remat else _ScanBody
+            for g, (lc, n) in enumerate(layer_groups(cfg)):
+                scan = nn.scan(
+                    body,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=n,
+                )(lc, dtype, prec, name=f"sulg_{g}")
+                (q, p, *_), _ = scan((q, p, ids_topk, D_nn, R_nn, atom_mask), None)
+        else:
+            layer_cls = nn.remat(StateUpdateLayer) if cfg.remat else StateUpdateLayer
+            for i, lc in enumerate(cfg.layers):
+                q, p = layer_cls(lc, dtype, prec, name=f"sul_{i}")(
+                    q, p, ids_topk, D_nn, R_nn, atom_mask
+                )
 
         qr, pr = StatePool(cfg.spl_n0, cfg.spl_n1, cfg.spl_nh, dtype, prec,
                            name="spl")(q, p, M)

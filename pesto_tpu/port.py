@@ -37,6 +37,19 @@ def torch_state_dict_to_params(state_dict, cfg: PestoConfig) -> Dict:
         if bias is not None:
             leaf["bias"] = bias
 
+    # layer index -> (group index, position in group) for scanned layouts
+    if cfg.scan_layers:
+        from .models.pesto import layer_groups
+
+        layer_to_group = {}
+        i = 0
+        for g, (_, n) in enumerate(layer_groups(cfg)):
+            for j in range(n):
+                layer_to_group[i] = (g, j)
+                i += 1
+
+    stacked: Dict = {}  # path -> {position: array} for scanned groups
+
     for key, value in state_dict.items():
         parts = key.split(".")
         if parts[-1] not in ("weight", "bias"):
@@ -50,10 +63,14 @@ def torch_state_dict_to_params(state_dict, cfg: PestoConfig) -> Dict:
             path = ("em", _MLP_IDX[int(parts[1])])
         elif parts[0] == "sum":
             i, mlp = int(parts[1]), parts[3]
-            if mlp == "ppm":
-                path = (f"sul_{i}", "su", "ppm")
-            else:
-                path = (f"sul_{i}", "su", mlp, _MLP_IDX[int(parts[4])])
+            leaf_mod = ("ppm",) if mlp == "ppm" else (mlp, _MLP_IDX[int(parts[4])])
+            if cfg.scan_layers:
+                g, j = layer_to_group[i]
+                path = (f"sulg_{g}", "sul", "su") + leaf_mod
+                skey = (path, "kernel" if is_weight else "bias")
+                stacked.setdefault(skey, {})[j] = v
+                continue
+            path = (f"sul_{i}", "su") + leaf_mod
         elif parts[0] == "spl":
             mlp = parts[1]
             if mlp == "zdm_vec":
@@ -66,6 +83,11 @@ def torch_state_dict_to_params(state_dict, cfg: PestoConfig) -> Dict:
             raise KeyError(f"unrecognized reference parameter: {key}")
 
         put(path, kernel=v if is_weight else None, bias=None if is_weight else v)
+
+    # assemble scanned groups: stack layer leaves along a leading axis
+    for (path, leaf), by_pos in stacked.items():
+        v = np.stack([by_pos[j] for j in sorted(by_pos)], axis=0)
+        put(path, kernel=v if leaf == "kernel" else None, bias=v if leaf == "bias" else None)
 
     return params
 
