@@ -52,6 +52,11 @@ class PestoConfig:
     # scan identical-layer groups with lax.scan: ~G x smaller XLA program
     # (the 32-layer stack compiles as 4 bodies), same math
     scan_layers: bool = True
+    # decomposed edge computation: never materializes the [N,nn,6S+1] edge
+    # tensor or the [N,3,3nn,S] vector-value tensor; per-atom terms leave
+    # the edge loop and the edge matmul is a single MXU-aligned [4S x .]
+    # contraction. Same parameters, same math up to fp reduction order.
+    fused_edges: bool = True
 
     @property
     def feature_flags(self):

@@ -56,6 +56,37 @@ class MLP3(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Raw kernel/bias with nn.Dense's tree layout and initializers. Used
+    by the packed edge path, which slices/packs kernels instead of calling
+    nn.Dense on a concatenated edge tensor."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,)) if self.use_bias else None
+        return k, b
+
+
+class _EdgeMLPParams(nn.Module):
+    """Parameter container matching MLP3's tree (Dense_0/1/2) for one edge
+    MLP; returns the raw kernels/biases for cross-MLP packing."""
+
+    in_dim: int
+    features: tuple
+
+    @nn.compact
+    def __call__(self):
+        k0, b0 = _DenseParams(self.in_dim, self.features[0], name="Dense_0")()
+        k1, b1 = _DenseParams(self.features[0], self.features[1], name="Dense_1")()
+        k2, b2 = _DenseParams(self.features[1], self.features[2], name="Dense_2")()
+        return (k0, b0), (k1, b1), (k2, b2)
+
+
 def unpack_state_features(X, ids_topk, atom_mask, n_real):
     """Compute per-neighbor distances/unit displacements from coordinates.
 
@@ -90,6 +121,7 @@ class StateUpdate(nn.Module):
     cfg: LayerConfig
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    fused: bool = False
 
     @nn.compact
     def __call__(self, q, p, q_nn, p_nn, d_nn, r_nn):
@@ -97,6 +129,9 @@ class StateUpdate(nn.Module):
         N, n_nn = q_nn.shape[0], q_nn.shape[1]
         prec = self.precision
         sdk = jnp.sqrt(jnp.asarray(Nk, dtype=q.dtype))
+
+        if self.fused:
+            return self._fused(q, p, q_nn, p_nn, d_nn, r_nn)
 
         # node features: scalar state + vector state norms  [N, 2S]
         X_n = jnp.concatenate([q, safe_norm(p, axis=1)], axis=1)
@@ -155,6 +190,104 @@ class StateUpdate(nn.Module):
 
         return q + qh, p + ph
 
+    def _fused(self, q, p, q_nn, p_nn, d_nn, r_nn):
+        """Packed computation, same parameters and (up to fp summation
+        order) the same math as the exact path, shaped for the TPU:
+
+          - the [N,nn,6S+1] edge tensor is never built: its first Dense
+            splits into a per-atom part (distance column + tiled center
+            state) and a 4S-wide per-edge contraction;
+          - the three edge MLPs (eqkm/epkm/evm) are packed into single
+            MXU-aligned [4S x 4S] matmuls (concat for layer 0, block-
+            diagonal for layers 1-2) instead of six skinny ones;
+          - tiny-contraction attention einsums (Nk=3, Nh=2) run as fused
+            VPU multiply+reduce instead of MXU dot_general;
+          - the [N,3,3nn,S] vector-value tensor is never built: its three
+            blocks contract separately (reference Vp packing:
+            src/model_operations.py:131-136).
+        """
+        S, Nh, Nk = self.cfg.Ns, self.cfg.Nh, self.cfg.Nk
+        N, n_nn = q_nn.shape[0], q_nn.shape[1]
+        prec = self.precision
+        dt = self.dtype
+        sdk = jnp.sqrt(jnp.asarray(Nk, dtype=q.dtype))
+
+        X_n = jnp.concatenate([q, safe_norm(p, axis=1)], axis=1)
+
+        # shared per-edge features [N, nn, 4S]
+        proj_p = jnp.sum(p[:, None, :, :] * r_nn[:, :, :, None], axis=2)
+        proj_pn = jnp.sum(p_nn * r_nn[:, :, :, None], axis=2)
+        E = jnp.concatenate([q_nn, safe_norm(p_nn, axis=2), proj_p, proj_pn], axis=2)
+
+        # edge MLP parameters (tree layout identical to the exact path)
+        in_dim = 6 * S + 1
+        (k0q, b0q), (k1q, b1q), (k2q, b2q) = _EdgeMLPParams(in_dim, (S, S, Nk), name="eqkm")()
+        (k0p, b0p), (k1p, b1p), (k2p, b2p) = _EdgeMLPParams(in_dim, (S, S, 3 * Nk), name="epkm")()
+        (k0v, b0v), (k1v, b1v), (k2v, b2v) = _EdgeMLPParams(in_dim, (2 * S, 2 * S, 2 * S), name="evm")()
+
+        H = 4 * S  # packed width: S + S + 2S = 128 for S=32
+        K0 = jnp.concatenate([k0q, k0p, k0v], axis=1).astype(dt)       # [6S+1, 4S]
+        B0 = jnp.concatenate([b0q, b0p, b0v]).astype(dt)               # [4S]
+        K1 = jnp.zeros((H, H), dt)
+        K1 = K1.at[:S, :S].set(k1q.astype(dt))
+        K1 = K1.at[S : 2 * S, S : 2 * S].set(k1p.astype(dt))
+        K1 = K1.at[2 * S :, 2 * S :].set(k1v.astype(dt))
+        B1 = jnp.concatenate([b1q, b1p, b1v]).astype(dt)
+        n_out = Nk + 3 * Nk + 2 * S  # 3 + 9 + 64 = 76
+        K2 = jnp.zeros((H, n_out), dt)
+        K2 = K2.at[:S, :Nk].set(k2q.astype(dt))
+        K2 = K2.at[S : 2 * S, Nk : 4 * Nk].set(k2p.astype(dt))
+        K2 = K2.at[2 * S :, 4 * Nk :].set(k2v.astype(dt))
+        B2 = jnp.concatenate([b2q, b2p, b2v]).astype(dt)
+
+        # layer 0 decomposition: per-edge 4S-contraction + per-atom terms
+        per_atom = jnp.einsum("ns,sh->nh", X_n, K0[1 : 1 + 2 * S], precision=prec) + B0
+        h = (
+            jnp.einsum("njs,sh->njh", E, K0[1 + 2 * S :], precision=prec)
+            + d_nn[..., None] * K0[0]
+            + per_atom[:, None, :]
+        )
+        h = nn.elu(h)
+        h = nn.elu(jnp.einsum("njh,hg->njg", h, K1, precision=prec) + B1)
+        out = jnp.einsum("njh,hg->njg", h, K2, precision=prec) + B2   # [N,nn,76]
+        Kq = out[..., :Nk]
+        Kp3 = out[..., Nk : 4 * Nk]
+        V0 = out[..., 4 * Nk : 4 * Nk + S]
+        V1 = out[..., 4 * Nk + S :]
+
+        Q = MLP3((S, S, 2 * Nk * Nh), dt, prec, name="nqm")(X_n)
+        Q = Q.reshape(N, 2, Nh, Nk)
+
+        # attention logits: contraction over Nk=3 -> fused VPU mul+reduce
+        lq = jnp.sum(Q[:, 0][:, :, None, :] * Kq[:, None, :, :], axis=-1)  # [N,Nh,nn]
+        Mq = jax.nn.softmax(lq / sdk, axis=2)
+        lp = jnp.concatenate(
+            [
+                jnp.sum(Q[:, 1][:, :, None, :] * Kp3[:, None, :, c * Nk : (c + 1) * Nk], axis=-1)
+                for c in range(3)
+            ],
+            axis=2,
+        )  # [N,Nh,3nn]
+        Mp = jax.nn.softmax(lp / sdk, axis=2)
+        Mp1, Mp2, Mp3 = Mp[:, :, :n_nn], Mp[:, :, n_nn : 2 * n_nn], Mp[:, :, 2 * n_nn :]
+
+        # attention-weighted sums: contraction over nn with Nh=2 heads ->
+        # fused VPU multiply+reduce (MXU batched matmul would run at M=2)
+        Zq = jnp.sum(Mq[:, :, :, None] * V0[:, None, :, :], axis=2)      # [N,Nh,S]
+        Zq = Zq.reshape(N, Nh * S)
+        #   block1: (V1 * r); fold r into the small attention tensor first
+        MpR = Mp1[:, :, None, :] * jnp.swapaxes(r_nn, 1, 2)[:, None, :, :]  # [N,Nh,3,nn]
+        Z1 = jnp.sum(MpR[:, :, :, :, None] * V1[:, None, None, :, :], axis=3)  # [N,Nh,3,S]
+        #   block2: tiled center p; weights sum out over neighbors
+        Z2 = jnp.sum(Mp2, axis=2)[:, :, None, None] * p[:, None, :, :]   # [N,Nh,3,S]
+        #   block3: neighbor vector states
+        Z3 = jnp.sum(Mp3[:, :, None, :, None] * p_nn.transpose(0, 2, 1, 3)[:, None], axis=3)
+        Zp = (Z1 + Z2 + Z3).transpose(0, 2, 1, 3).reshape(N, 3, Nh * S)
+
+        qh = MLP3((S, S, S), dt, prec, name="qpm")(Zq)
+        ph = nn.Dense(S, use_bias=False, dtype=dt, precision=prec, name="ppm")(Zp)
+        return q + qh, p + ph
+
 
 class StateUpdateLayer(nn.Module):
     """Gather each atom's first `nn` neighbors, run StateUpdate, and re-zero
@@ -164,16 +297,25 @@ class StateUpdateLayer(nn.Module):
     cfg: LayerConfig
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    fused: bool = False
 
     @nn.compact
     def __call__(self, q, p, ids_topk, D_nn, R_nn, atom_mask):
         nn_k = self.cfg.nn
         ids_nn = ids_topk[:, :nn_k]
-        q, p = StateUpdate(self.cfg, self.dtype, self.precision, name="su")(
+        # ONE combined 4S-wide gather for scalar+vector neighbor states:
+        # gather cost on TPU is bound by row count, not bytes, so fusing
+        # the q and p gathers halves the dominant per-layer cost
+        N, S = q.shape
+        qp = jnp.concatenate([q, p.reshape(N, 3 * S)], axis=1)  # [N, 4S]
+        qp_nn = jnp.take(qp, ids_nn, axis=0)                    # [N, nn, 4S]
+        q_nn = qp_nn[..., :S]
+        p_nn = qp_nn[..., S:].reshape(N, nn_k, 3, S)
+        q, p = StateUpdate(self.cfg, self.dtype, self.precision, self.fused, name="su")(
             q,
             p,
-            jnp.take(q, ids_nn, axis=0),
-            jnp.take(p, ids_nn, axis=0),
+            q_nn,
+            p_nn,
             D_nn[:, :nn_k],
             R_nn[:, :nn_k, :],
         )
@@ -202,11 +344,12 @@ class _ScanBody(nn.Module):
     cfg: LayerConfig
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    fused: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         q, p, ids_topk, D_nn, R_nn, atom_mask = carry
-        q, p = StateUpdateLayer(self.cfg, self.dtype, self.precision, name="sul")(
+        q, p = StateUpdateLayer(self.cfg, self.dtype, self.precision, self.fused, name="sul")(
             q, p, ids_topk, D_nn, R_nn, atom_mask
         )
         return (q, p, ids_topk, D_nn, R_nn, atom_mask), None
@@ -273,12 +416,12 @@ class PestoModel(nn.Module):
                     variable_axes={"params": 0},
                     split_rngs={"params": True},
                     length=n,
-                )(lc, dtype, prec, name=f"sulg_{g}")
+                )(lc, dtype, prec, cfg.fused_edges, name=f"sulg_{g}")
                 (q, p, *_), _ = scan((q, p, ids_topk, D_nn, R_nn, atom_mask), None)
         else:
             layer_cls = nn.remat(StateUpdateLayer) if cfg.remat else StateUpdateLayer
             for i, lc in enumerate(cfg.layers):
-                q, p = layer_cls(lc, dtype, prec, name=f"sul_{i}")(
+                q, p = layer_cls(lc, dtype, prec, cfg.fused_edges, name=f"sul_{i}")(
                     q, p, ids_topk, D_nn, R_nn, atom_mask
                 )
 
