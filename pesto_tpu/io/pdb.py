@@ -147,6 +147,75 @@ def read_pdb(pdb_filepath: str) -> dict:
     }
 
 
+def read_traj_pdb(pdb_filepath: str):
+    """Parse a multi-model PDB as a trajectory: the first MODEL defines the
+    topology (a structure record with chain names "{chain}:0"); returns
+    (structure, xyz_frames [T, N, 3]). All models must have equal atom
+    counts. Single-model files yield T=1."""
+    frames = []
+    current = []
+    meta = None  # (name, element, resname, resid, het, chain, icode) lists
+    cur_meta = [[], [], [], [], [], [], []]
+    in_model = False
+
+    def flush():
+        nonlocal meta, current
+        if current:
+            frames.append(np.array(current, dtype=np.float32))
+            if meta is None:
+                meta = [list(m) for m in cur_meta]
+            current = []
+
+    with _open_text(pdb_filepath) as fs:
+        for line in fs:
+            rec = line[0:6]
+            if rec in ("MODEL ",):
+                flush()
+                in_model = True
+                continue
+            if rec in ("ENDMDL",):
+                flush()
+                continue
+            if rec not in ("ATOM  ", "HETATM") or len(line) < 54:
+                continue
+            try:
+                x, y, z = float(line[30:38]), float(line[38:46]), float(line[46:54])
+                resid = int(line[22:26])
+            except ValueError:
+                continue
+            current.append((x, y, z))
+            if meta is None:
+                name = line[12:16].strip()
+                resname = line[17:20].strip()
+                element = _normalize_element(line[76:78] if len(line) >= 78 else "")
+                if not element:
+                    element = _guess_element(name, resname)
+                cur_meta[0].append(name)
+                cur_meta[1].append(element)
+                cur_meta[2].append(resname)
+                cur_meta[3].append(resid)
+                cur_meta[4].append("A" if rec == "ATOM  " else "H")
+                cur_meta[5].append(f"{line[21:22].strip()}:0")
+                cur_meta[6].append(line[26:27].strip())
+    flush()
+
+    if not frames:
+        raise ValueError(f"no frames parsed from {pdb_filepath}")
+    n = frames[0].shape[0]
+    frames = [f for f in frames if f.shape[0] == n]
+    structure = {
+        "xyz": frames[0],
+        "name": np.array(meta[0]),
+        "element": np.array(meta[1]),
+        "resname": np.array(meta[2]),
+        "resid": np.array(meta[3], dtype=np.int32),
+        "het_flag": np.array(meta[4]),
+        "chain_name": np.array(meta[5]),
+        "icode": np.array(meta[6]),
+    }
+    return structure, np.stack(frames)
+
+
 def _format_atom_line(h, serial, name, resname, chain_char, resid, xyz, bf, element):
     return "{:<6s}{:>5d} {:<4s} {:>3s} {:1s}{:>4d}    {:8.3f}{:8.3f}{:8.3f}{:6.2f}{:6.2f}          {:<2s}  ".format(
         h, serial, name, resname, chain_char, int(resid),

@@ -1,0 +1,168 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from pesto_tpu.traj import (
+    fnat,
+    interface_atom_ids,
+    irmsd,
+    pairwise_distance_matrix,
+    rmsd,
+    superpose,
+    superpose_transform,
+    unwrap_pbc,
+)
+from pesto_tpu.traj.electrostatics import COULOMB, U_cc, multipole_interactions, nonbonded_interactions
+from pesto_tpu.traj.sasa import shrake_rupley
+from pesto_tpu.traj.stats import StatisticalContactsModel, div_KL
+from pesto_tpu.analysis import DensityPeakClustering, cluster_interfaces, connected_components
+
+
+def _rand_cloud(n, seed=0):
+    return (np.random.RandomState(seed).rand(n, 3) * 20).astype(np.float32)
+
+
+def _rigid(xyz, seed=1):
+    rng = np.random.RandomState(seed)
+    A = rng.randn(3, 3)
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    t = rng.randn(3) * 10
+    return (xyz @ Q.T + t).astype(np.float32)
+
+
+def test_superpose_recovers_rigid_transform():
+    x = _rand_cloud(50)
+    y = _rigid(x)
+    aligned = superpose(x, y[None])
+    assert np.abs(aligned[0] - x).max() < 1e-3
+
+
+def test_rmsd_zero_for_rigid_copies():
+    x = _rand_cloud(40)
+    frames = np.stack([_rigid(x, seed=s) for s in range(3)])
+    r = rmsd(x, frames)
+    assert np.all(r < 1e-3)
+
+
+def test_rmsd_nonzero_for_perturbed():
+    x = _rand_cloud(40)
+    y = x + np.random.RandomState(0).randn(40, 3).astype(np.float32) * 0.5
+    r = rmsd(x, y[None])
+    assert 0.1 < r[0] < 2.0
+
+
+def test_unwrap_pbc():
+    box = np.array([10.0, 10.0, 10.0])
+    xyz = np.zeros((3, 1, 3), dtype=np.float32)
+    xyz[0, 0] = [9.8, 5, 5]
+    xyz[1, 0] = [0.1, 5, 5]   # wrapped jump
+    xyz[2, 0] = [0.4, 5, 5]
+    out = unwrap_pbc(xyz, box)
+    assert abs(out[1, 0, 0] - 10.1) < 1e-5  # unwrapped
+    assert abs(out[2, 0, 0] - 10.4) < 1e-5
+
+
+def test_interface_and_fnat():
+    # two 5-residue chains, 3 atoms each, near each other at the interface
+    def chain(xoff):
+        xyz = []
+        for r in range(5):
+            for a in range(3):
+                xyz.append([r * 4.0, xoff, a * 1.0])
+        return np.array(xyz, dtype=np.float32)
+
+    xr, xl = chain(0.0), chain(3.0)
+    rr = np.repeat(np.arange(5), 3)
+    ids_a, ids_b = interface_atom_ids(xr, xl, rr, rr, r_thr=5.0)
+    assert len(ids_a) > 0 and len(ids_b) > 0
+
+    # identical frames -> fnat 1; far-apart frames -> fnat 0
+    f = fnat(xr, xl, rr, rr, xr[None], xl[None])
+    assert f[0] == 1.0
+    f2 = fnat(xr, xl, rr, rr, xr[None], (xl + 100)[None])
+    assert f2[0] == 0.0
+
+    ir = irmsd(xr, xl, rr, rr, xr[None], xl[None])
+    assert ir[0] < 1e-3
+
+
+def test_electrostatics_coulomb_limit():
+    # two unit charges 1 nm apart -> U = COULOMB
+    r = np.array([1.0, 0.0, 0.0])
+    u = float(U_cc(r, 1.0, 1.0))
+    assert abs(u - COULOMB) < 1e-3
+
+    xyz = np.array([[0, 0, 0], [1.0, 0, 0]], dtype=np.float32)
+    res = multipole_interactions(xyz, np.array([1.0, 1.0]), np.array([1.0, 1.0]), [0], [1])
+    assert abs(float(res["U_cc"]) - COULOMB) < 1e-3
+
+    nb = nonbonded_interactions(
+        xyz, np.array([1.0, 1.0]), np.array([0.3, 0.3]), np.array([0.5, 0.5]), [0], [1]
+    )
+    assert abs(float(nb["U_coulomb"]) - COULOMB) < 1e-3
+
+
+def test_sasa_isolated_atom():
+    # a single isolated carbon: SASA == full sphere area of r = 1.7+1.4
+    xyz = np.array([[0.0, 0.0, 0.0]], dtype=np.float32)
+    s = shrake_rupley(xyz, elements=["C"])
+    expected = 4 * np.pi * (1.7 + 1.4) ** 2
+    assert abs(s[0] - expected) / expected < 1e-5
+
+
+def test_sasa_buried_atom():
+    # an atom fully surrounded by a dense shell has near-zero SASA
+    shell = []
+    for phi in np.linspace(0, np.pi, 10):
+        for theta in np.linspace(0, 2 * np.pi, 20):
+            shell.append([3.0 * np.sin(phi) * np.cos(theta), 3.0 * np.sin(phi) * np.sin(theta), 3.0 * np.cos(phi)])
+    xyz = np.array([[0.0, 0.0, 0.0]] + shell, dtype=np.float32)
+    s = shrake_rupley(xyz, elements=["C"] * len(xyz))
+    assert s[0] < 10.0  # mostly buried
+
+
+def test_stats_kl():
+    f0 = np.random.RandomState(0).rand(4, 10, 3).astype(np.float32) * 5
+    f1 = np.random.RandomState(1).rand(4, 12, 3).astype(np.float32) * 5
+    m1 = StatisticalContactsModel().update(f0, f1)
+    m2 = StatisticalContactsModel().update(f0, f1)
+    assert m1.compare(m2) < 1e-9
+    assert div_KL(np.array([1.0, 0.0]), np.array([0.5, 0.5])) > 0.1
+
+
+def test_connected_components():
+    adj = np.zeros((5, 5), dtype=bool)
+    adj[0, 1] = adj[1, 0] = True
+    adj[2, 3] = adj[3, 2] = True
+    comps = connected_components(adj)
+    assert sorted(map(tuple, comps)) == [(0, 1), (2, 3), (4,)]
+
+
+def test_cluster_interfaces():
+    n = 20
+    entry = {
+        "x": np.arange(n, dtype=float),
+        "y": np.zeros(n),
+        "z": np.zeros(n),
+        "afs": np.full(n, 90.0),
+        "p0": np.concatenate([np.ones(5), np.zeros(10), np.ones(5)]),
+    }
+    # two patches separated by > d_thr
+    entry["x"][15:] += 100
+    out = cluster_interfaces(entry, afs_thr=70, p_thr=0.5, d_thr=10.0)
+    assert len(out[0]) == 2
+    assert sorted(out[0][0]) == [0, 1, 2, 3, 4]
+
+
+def test_density_peak_clustering():
+    rng = np.random.RandomState(0)
+    a = rng.randn(30, 2) * 0.3
+    b = rng.randn(30, 2) * 0.3 + np.array([5.0, 0.0])
+    X = np.concatenate([a, b])
+    labels = DensityPeakClustering(n_clusters=2).fit_predict(X)
+    assert len(set(labels[:30])) == 1
+    assert len(set(labels[30:])) == 1
+    assert labels[0] != labels[30]
