@@ -1,0 +1,116 @@
+"""PPI benchmark on golden prediction/ground-truth PDB pairs.
+
+The reference's interface_ppi_benchmark.ipynb workflow over the pdbs_test
+layout: for every `X.pdb` (a committed reference prediction with
+probability in the B-factor column) and its `X_T.pdb` (binary ground
+truth), run OUR model on the coordinates and report per-structure ROC AUC
+side-by-side with the committed reference prediction's AUC (and any other
+method's `X_<tag>.pdb` files, e.g. `_M` = MaSIF-site).
+
+Usage:
+  python -m pesto_tpu.apps.benchmark_ppi /root/reference/pdbs_test \
+      --model i_v4_0 --ckpt model.pt --out results.csv [--limit N]
+"""
+
+import argparse
+import csv
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def _read_bfactors_per_residue(path):
+    """Per-residue max b-factor + the raw structure, using our reader and
+    the cleaning chain so residue numbering matches the model's."""
+    from ..io import read_pdb
+    from ..structure import clean_structure
+
+    s = clean_structure(read_pdb(path))
+    bf = np.array(
+        [float(line[60:66]) for line in open(path) if line.startswith(("ATOM", "HETATM"))]
+    )
+    # align: cleaning only drops waters/H which golden files don't contain
+    resids = s["resid"]
+    ures = np.unique(resids)
+    per_res = np.array([bf[: len(resids)][resids == r].max() for r in ures])
+    return s, per_res
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("testdir", help="directory with X.pdb / X_T.pdb golden pairs")
+    parser.add_argument("--model", default="i_v4_0")
+    parser.add_argument("--ckpt", default="/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt")
+    parser.add_argument("--class-index", type=int, default=0)
+    parser.add_argument("--out", default="ppi_benchmark.csv")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--methods", default="M", help="comma list of extra method tags to score")
+    args = parser.parse_args(argv)
+
+    from sklearn.metrics import roc_auc_score
+
+    from ..infer import Predictor
+    from ..models import get_config
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    pred = Predictor.from_reference_checkpoint(args.ckpt, get_config(args.model, remat=False))
+
+    bases = sorted(
+        p[:-4]
+        for p in glob.glob(os.path.join(args.testdir, "*.pdb"))
+        if not any(p.endswith(f"_{t}.pdb") for t in ["T"] + args.methods.split(","))
+    )
+    if args.limit:
+        bases = bases[: args.limit]
+
+    rows = []
+    for base in bases:
+        try:
+            truth_path = base + "_T.pdb"
+            if not os.path.isfile(truth_path):
+                continue
+            s_in, ref_p = _read_bfactors_per_residue(base + ".pdb")
+            _, y = _read_bfactors_per_residue(truth_path)
+            y = (y > 0.5).astype(np.float32)
+            if y.sum() in (0, len(y)):
+                continue
+
+            ours = pred.predict_structure(s_in)[:, args.class_index]
+            n = min(len(ours), len(y))
+            row = {
+                "id": os.path.basename(base),
+                "n_res": n,
+                "auc_ours": roc_auc_score(y[:n], ours[:n]),
+                "auc_reference": roc_auc_score(y[:n], ref_p[:n]),
+            }
+            for tag in args.methods.split(","):
+                mp = f"{base}_{tag}.pdb"
+                if os.path.isfile(mp):
+                    try:
+                        _, other = _read_bfactors_per_residue(mp)
+                        m = min(len(other), len(y))
+                        row[f"auc_{tag}"] = roc_auc_score(y[:m], other[:m])
+                    except Exception:
+                        pass
+            rows.append(row)
+            print(f"{row['id']}: ours={row['auc_ours']:.3f} ref={row['auc_reference']:.3f}")
+        except Exception as e:
+            print(f"error {base}: {e}", file=sys.stderr)
+
+    if rows:
+        fields = sorted({k for r in rows for k in r}, key=lambda k: (k != "id", k))
+        with open(args.out, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            w.writeheader()
+            w.writerows(rows)
+        med_ours = np.median([r["auc_ours"] for r in rows])
+        med_ref = np.median([r["auc_reference"] for r in rows])
+        print(f"\nmedian AUC over {len(rows)} structures: ours={med_ours:.4f} "
+              f"reference-committed={med_ref:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Proteome-scale batch interface prediction (the reference's
+interfaceome pipeline, interfaceome/apply_model.py:13-86 +
+pack_structures.py + aggregate_data.py + cluster_interfaces.py).
+
+Subcommands:
+  pack     PDB files -> structure store HDF5
+  predict  structure store -> per-key [n_res, C] probabilities HDF5,
+           batched through padding buckets on TPU
+  aggregate  join predictions with coordinates/confidence into per-key
+           residue tables (x, y, z, afs, p0..pC)
+  cluster  connected interface patches per class -> JSON
+
+Usage:
+  python -m pesto_tpu.apps.interfaceome pack "afdb/*.pdb" --out store.h5
+  python -m pesto_tpu.apps.interfaceome predict store.h5 --out pred.h5 --ckpt model.pt
+  python -m pesto_tpu.apps.interfaceome aggregate store.h5 pred.h5 --out agg.h5
+  python -m pesto_tpu.apps.interfaceome cluster agg.h5 --out interfaces.json
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_pack(args):
+    from ..data.store import store_pdbs
+
+    paths = sorted({p for g in args.inputs for p in glob.glob(g)})
+    pairs = [(os.path.basename(p).split(".")[0], p) for p in paths]
+    keys = store_pdbs(args.out, pairs)
+    print(f"packed {len(keys)} structures into {args.out}")
+
+
+def cmd_predict(args):
+    import h5py
+
+    from ..data.store import StructuresStore
+    from ..infer import Predictor
+    from ..models import get_config
+    from ..structure import concatenate_chains, preprocess_structure
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = get_config(args.model, remat=False)
+    pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+
+    store = StructuresStore(args.h5)
+    structures, keys = [], []
+    for key in store:
+        try:
+            subunits = preprocess_structure(store[key])
+            structures.append(concatenate_chains(subunits))
+            keys.append(key)
+        except Exception as e:
+            print(f"error with {key}: {e}", file=sys.stderr)
+
+    probs = pred.predict_batch(structures)
+    with h5py.File(args.out, "w") as hf:
+        for key, p in zip(keys, probs):
+            hf[key] = p
+    print(f"predicted {len(keys)} structures -> {args.out}")
+
+
+def cmd_aggregate(args):
+    """Join per-residue predictions with C-alpha coordinates and the
+    B-factor column (pLDDT for AlphaFold models) into flat residue tables
+    (reference aggregate_data.py)."""
+    import h5py
+
+    from ..data.store import StructuresStore
+    from ..structure import clean_structure
+
+    store = StructuresStore(args.store)
+    with h5py.File(args.pred, "r") as hp, h5py.File(args.out, "w") as ho:
+        for key in hp.keys():
+            p = np.array(hp[key])
+            raw = store[key]
+            bf_by_atom = raw.get("bfactor")
+            structure = clean_structure(raw)
+            m_ca = (structure["name"] == "CA") & (structure["element"] == "C")
+            resids = structure["resid"]
+            ures = np.unique(resids)
+            if len(ures) != p.shape[0]:
+                print(f"skip {key}: residue mismatch", file=sys.stderr)
+                continue
+            xyz_ca = np.zeros((len(ures), 3), dtype=np.float32)
+            afs = np.zeros(len(ures), dtype=np.float32)
+            for i, rid in enumerate(ures):
+                m = (resids == rid) & m_ca
+                if not m.any():
+                    m = resids == rid
+                xyz_ca[i] = structure["xyz"][m][0]
+                if bf_by_atom is not None:
+                    afs[i] = float(np.asarray(bf_by_atom)[: len(resids)][m][0])
+            g = ho.create_group(key)
+            g["x"], g["y"], g["z"] = xyz_ca[:, 0], xyz_ca[:, 1], xyz_ca[:, 2]
+            g["afs"] = afs
+            for c in range(p.shape[1]):
+                g[f"p{c}"] = p[:, c]
+    print(f"aggregated -> {args.out}")
+
+
+def cmd_cluster(args):
+    import h5py
+
+    from ..analysis import cluster_interfaces
+
+    out = {}
+    with h5py.File(args.agg, "r") as hf:
+        for key in hf.keys():
+            entry = {k: np.array(hf[key][k]) for k in hf[key].keys()}
+            out[key] = cluster_interfaces(
+                entry, afs_thr=args.afs_thr, p_thr=args.p_thr, d_thr=args.d_thr
+            )
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(f"clustered {len(out)} entries -> {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pack")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("predict")
+    p.add_argument("h5")
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default="i_v4_0")
+    p.add_argument("--ckpt", default="/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt")
+    p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("aggregate")
+    p.add_argument("store")
+    p.add_argument("pred")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_aggregate)
+
+    p = sub.add_parser("cluster")
+    p.add_argument("agg")
+    p.add_argument("--out", required=True)
+    p.add_argument("--afs-thr", type=float, default=70.0)
+    p.add_argument("--p-thr", type=float, default=0.5)
+    p.add_argument("--d-thr", type=float, default=10.0)
+    p.set_defaults(fn=cmd_cluster)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
