@@ -26,6 +26,7 @@ subunit and a final END.
 """
 
 import gzip
+import os
 
 import numpy as np
 
@@ -75,7 +76,24 @@ def read_pdb(pdb_filepath: str) -> dict:
 
     Matches the record produced by the reference reader
     (src/structure_io.py:6-55). Raises ValueError on files with no atoms.
+    Uses the native C++ parser (pesto_tpu.native) when available; set
+    PESTO_NO_NATIVE=1 to force the pure-Python path.
     """
+    if not os.environ.get("PESTO_NO_NATIVE"):
+        try:
+            from ..native import native_available, read_pdb_native
+
+            if native_available():
+                return read_pdb_native(pdb_filepath)
+        except ValueError:
+            raise
+        except Exception:
+            pass  # fall through to the Python parser
+
+    return _read_pdb_python(pdb_filepath)
+
+
+def _read_pdb_python(pdb_filepath: str) -> dict:
     atom_element, atom_name, atom_xyz = [], [], []
     residue_name, seq_id, het_flag, chain_name, icodes = [], [], [], [], []
 

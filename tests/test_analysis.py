@@ -1,0 +1,105 @@
+import json
+
+import numpy as np
+import pytest
+
+from pesto_tpu.analysis.secondary_structure import assign_secondary_structure_ca, secondary_structure
+from pesto_tpu.analysis.uniprot import (
+    pack_uniprot,
+    parse_features,
+    parse_go_terms,
+    parse_keywords,
+    parse_subcellular_locations,
+)
+from pesto_tpu.analysis.data_manager import DataManager
+
+
+def _ideal_helix(n, rise=1.5, radius=2.3, turn=100.0):
+    t = np.radians(turn) * np.arange(n)
+    return np.stack([radius * np.cos(t), radius * np.sin(t), rise * np.arange(n)], axis=1)
+
+
+def _ideal_strand(n, rise=3.45):
+    # extended chain: ~6.9 A per 2 residues with small zigzag
+    xyz = np.zeros((n, 3))
+    xyz[:, 0] = rise * np.arange(n)
+    xyz[:, 1] = 0.5 * (np.arange(n) % 2)
+    return xyz
+
+
+def test_ss_helix():
+    ss = assign_secondary_structure_ca(_ideal_helix(20))
+    assert (ss == "H").mean() > 0.7
+
+
+def test_ss_strand():
+    ss = assign_secondary_structure_ca(_ideal_strand(12))
+    assert (ss == "E").mean() > 0.5
+    assert not (ss == "H").any()
+
+
+def test_ss_structure_record(example_pdb):
+    from pesto_tpu.io import read_pdb
+    from pesto_tpu.structure import clean_structure
+
+    s = clean_structure(read_pdb(example_pdb))
+    ss = secondary_structure(s)
+    assert len(ss) == len(np.unique(s["resid"]))
+    # a kinase domain has plenty of helix and strand
+    assert (ss == "H").mean() > 0.15
+    assert (ss == "E").mean() > 0.05
+
+
+UNIPROT_RECORD = {
+    "sequence": {"value": "MKT"},
+    "keywords": [{"name": "Kinase"}, {"name": "Membrane"}],
+    "features": [
+        {"type": "Domain", "description": "Protein kinase",
+         "location": {"start": {"value": 10}, "end": {"value": 270}}},
+    ],
+    "comments": [
+        {"commentType": "SUBCELLULAR LOCATION",
+         "subcellularLocations": [{"location": {"value": "Cytoplasm"}}]},
+    ],
+    "uniProtKBCrossReferences": [
+        {"database": "GO", "id": "GO:0004672",
+         "properties": [{"key": "GoTerm", "value": "F:protein kinase activity"}]},
+        {"database": "PDB", "id": "1OL5"},
+    ],
+}
+
+
+def test_uniprot_parsers():
+    assert parse_keywords(UNIPROT_RECORD) == ["Kinase", "Membrane"]
+    feats = parse_features(UNIPROT_RECORD)
+    assert feats[0]["type"] == "Domain" and feats[0]["begin"] == 10
+    gos = parse_go_terms(UNIPROT_RECORD)
+    assert gos[0]["id"] == "GO:0004672" and gos[0]["aspect"] == "F"
+    assert parse_subcellular_locations(UNIPROT_RECORD) == ["Cytoplasm"]
+
+
+def test_pack_uniprot(tmp_path):
+    d = tmp_path / "uniprot"
+    d.mkdir()
+    (d / "P12345.json").write_text(json.dumps(UNIPROT_RECORD))
+    out = str(tmp_path / "uniprot.h5")
+    n = pack_uniprot(str(d), out)
+    assert n == 1
+    import h5py
+
+    with h5py.File(out) as hf:
+        assert "P12345" in hf
+        assert hf["P12345/sequence"][()] == b"MKT"
+
+
+def test_data_manager(tmp_path):
+    for sid in ["1abc", "2def"]:
+        for rep in ["run_0", "run_1"]:
+            (tmp_path / sid / rep).mkdir(parents=True)
+    dm = DataManager(str(tmp_path), "{sid}/run_{rep}")
+    assert len(dm.keys()) == 4
+    dm.save_info({"ok": 1}, "1abc", "0")
+    assert dm.load_info("1abc", "0") == {"ok": 1}
+    dm.save_data("rmsd", np.arange(5.0), "1abc", "0")
+    assert dm.has_data("rmsd", "1abc", "0")
+    np.testing.assert_array_equal(dm.load_data("rmsd", "1abc", "0"), np.arange(5.0))

@@ -1,0 +1,75 @@
+"""Native C++ PDB parser: byte-exact agreement with the Python parser."""
+
+import glob
+import time
+
+import numpy as np
+import pytest
+
+from pesto_tpu.io.pdb import _read_pdb_python
+from pesto_tpu.native import native_available, read_pdb_native
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+
+
+@pytest.mark.parametrize(
+    "path",
+    sorted(glob.glob("/root/reference/examples/*/*.pdb"))[:6]
+    + sorted(glob.glob("/root/reference/examples/*/*.pdb1"))[:4],
+)
+def test_native_matches_python(path):
+    a = _read_pdb_python(path)
+    b = read_pdb_native(path)
+    assert a["xyz"].shape == b["xyz"].shape
+    np.testing.assert_allclose(a["xyz"], b["xyz"], atol=1e-4)
+    for key in ("name", "element", "resname", "het_flag", "chain_name", "icode"):
+        assert np.array_equal(a[key].astype("U"), b[key].astype("U")), key
+    np.testing.assert_array_equal(a["resid"].astype(np.int64), b["resid"].astype(np.int64))
+
+
+def test_native_multimodel_and_altloc(tmp_path):
+    text = """MODEL        1
+ATOM      1  CA ASER A   1       0.000   0.000   0.000  0.50  0.00           C
+ATOM      2  CA BSER A   1       9.000   0.000   0.000  0.50  0.00           C
+ENDMDL
+MODEL        2
+ATOM      3  CA  ALA A   2       1.000   0.000   0.000  1.00  0.00
+ENDMDL
+END
+"""
+    f = tmp_path / "m.pdb"
+    f.write_text(text)
+    a = _read_pdb_python(str(f))
+    b = read_pdb_native(str(f))
+    assert b["xyz"].shape[0] == 2  # altloc B dropped
+    assert list(b["chain_name"]) == ["A:0", "A:1"]
+    assert b["element"][1] == "C"  # guessed from name
+    for key in a:
+        np.testing.assert_array_equal(np.asarray(a[key]).astype(str) if a[key].dtype.kind == "U" else a[key],
+                                      np.asarray(b[key]).astype(str) if b[key].dtype.kind == "U" else b[key])
+
+
+def test_native_gzip(tmp_path):
+    import gzip as gz
+
+    src = open(sorted(glob.glob("/root/reference/examples/*/*.pdb"))[0], "rb").read()
+    f = tmp_path / "x.pdb.gz"
+    with gz.open(f, "wb") as fh:
+        fh.write(src)
+    a = _read_pdb_python(str(f))
+    b = read_pdb_native(str(f))
+    np.testing.assert_allclose(a["xyz"], b["xyz"], atol=1e-4)
+
+
+def test_native_speedup():
+    path = sorted(glob.glob("/root/reference/examples/*/*.pdb1"))[0]
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _read_pdb_python(path)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        read_pdb_native(path)
+    t_nat = time.perf_counter() - t0
+    print(f"python {t_py:.3f}s native {t_nat:.3f}s speedup {t_py/max(t_nat,1e-9):.1f}x")
+    assert t_nat < t_py  # native must win
