@@ -92,6 +92,37 @@ def main():
         raise err
 
     atoms_per_sec = batch_size * n_atoms / dt
+
+    # training throughput (flagship, remat, Adam, dynamic pos_ratios):
+    # reference trains ~4.6-5.1 structures/s on a V100 (BASELINE.md)
+    train_sps = None
+    try:
+        from pesto_tpu.train import create_train_state
+        from pesto_tpu.train.step import build_train_step_fn
+
+        tcfg = get_config("i_v4_1", remat=True)
+        tstate, tx = create_train_state(tcfg, learning_rate=1e-5)
+        tstep = jax.jit(build_train_step_fn(tcfg, tx), donate_argnums=(0,))
+        tb = stack_batch(
+            [
+                random_padded_structure(
+                    n_atoms=1000, n_res=126, na=1024, nr=128, seed=i, with_labels=True
+                )
+                for i in range(16)
+            ]
+        )
+        s, out = tstep(tstate, tb)
+        _ = float(out["loss"])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            s, out = tstep(s, tb)
+        _ = float(out["loss"])
+        tdt = (time.perf_counter() - t0 - 0.027) / 10
+        train_sps = 16 / tdt
+        log(f"train: {tdt:.3f}s/step = {train_sps:.1f} structures/s")
+    except Exception as e:
+        log(f"train bench skipped: {type(e).__name__}: {str(e)[:120]}")
+
     print(
         json.dumps(
             {
@@ -104,6 +135,8 @@ def main():
                     "atoms": n_atoms,
                     "layers": len(cfg.layers),
                     "sec_per_batch": round(dt, 4),
+                    "train_structures_per_sec": round(train_sps, 2) if train_sps else None,
+                    "train_vs_v100_baseline": round(train_sps / 5.0, 2) if train_sps else None,
                     "device": str(jax.devices()[0]),
                 },
             }
