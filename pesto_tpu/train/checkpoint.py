@@ -49,6 +49,26 @@ def restore_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None
         return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
+def save_code_snapshot(output_dir: str) -> str:
+    """Snapshot the pesto_tpu package source into the run dir (the
+    reference copies its whole source tree into each save dir for
+    version pinning, model/save/*/src)."""
+    import zipfile
+
+    import pesto_tpu
+
+    pkg_dir = os.path.dirname(os.path.abspath(pesto_tpu.__file__))
+    os.makedirs(output_dir, exist_ok=True)
+    out = os.path.join(output_dir, "code_snapshot.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith((".py", ".cpp", ".md")):
+                    p = os.path.join(root, fn)
+                    zf.write(p, os.path.relpath(p, os.path.dirname(pkg_dir)))
+    return out
+
+
 def save_config_snapshot(output_dir: str, **configs):
     """Reference runs snapshot their config into the run dir
     (model/save/*/config.py); we store JSON."""

@@ -136,6 +136,12 @@ def train(
     logger.print(">>> Configuration")
     logger.print(str(dataclasses.asdict(tc)))
     save_config_snapshot(output_dir, model=model_cfg, train=tc)
+    try:
+        from .checkpoint import save_code_snapshot
+
+        save_code_snapshot(output_dir)
+    except Exception:
+        pass
 
     state, tx = create_train_state(
         model_cfg, learning_rate=tc.learning_rate,
