@@ -65,6 +65,19 @@ def cluster_interfaces(entry: dict, afs_thr: float = 70.0, p_thr: float = 0.5, d
     return ids_interfaces
 
 
+def cluster_md_interface_patterns(probs, p_thr: float = 0.5, n_clusters: int = None):
+    """Cluster MD frames by their predicted interface *pattern*
+    (reference md_analysis/apply_model_with_clustering.ipynb + CLoNe):
+    frames with similar sets of high-probability residues group together.
+
+    probs: [T, R] per-frame per-residue probabilities (one class).
+    Returns (labels [T], centers frame indices)."""
+    X = (np.asarray(probs) > p_thr).astype(np.float64)
+    dpc = DensityPeakClustering(n_clusters=n_clusters)
+    labels = dpc.fit_predict(X)
+    return labels, dpc.centers_
+
+
 class DensityPeakClustering:
     """Density-peak clustering (Rodriguez-Laio style, as used by CLoNe):
     density rho_i = # points within d_c; delta_i = distance to the nearest

@@ -48,7 +48,8 @@ class Predictor:
         return self._single(self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
 
     def probabilities(self, ps: PaddedStructure) -> np.ndarray:
-        return np.asarray(jax.nn.sigmoid(self.logits(ps)))
+        # always float32 on host (bf16 outputs are not numpy-interoperable)
+        return np.asarray(jax.nn.sigmoid(self.logits(ps).astype(jnp.float32)))
 
     def predict_structure(self, structure: dict) -> np.ndarray:
         """Cleaned+concatenated structure record -> [n_res, C] probs."""

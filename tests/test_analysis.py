@@ -103,3 +103,32 @@ def test_data_manager(tmp_path):
     dm.save_data("rmsd", np.arange(5.0), "1abc", "0")
     assert dm.has_data("rmsd", "1abc", "0")
     np.testing.assert_array_equal(dm.load_data("rmsd", "1abc", "0"), np.arange(5.0))
+
+
+def test_parse_pae_both_formats(tmp_path):
+    from pesto_tpu.analysis.afdb import mean_interface_pae, parse_pae
+
+    rec_v2 = {"predicted_aligned_error": [[0, 5], [5, 0]]}
+    pae = parse_pae(rec_v2)
+    assert pae.shape == (2, 2) and pae[0, 1] == 5
+
+    rec_v1 = [{"residue1": [1, 1, 2, 2], "residue2": [1, 2, 1, 2],
+               "distance": [0.0, 7.0, 7.0, 0.0]}]
+    pae1 = parse_pae(rec_v1)
+    assert pae1[0, 1] == 7.0
+    assert mean_interface_pae(pae1, [0], [1]) == 7.0
+
+
+def test_cluster_md_interface_patterns():
+    from pesto_tpu.analysis.clustering import cluster_md_interface_patterns
+
+    rng = np.random.RandomState(0)
+    # two interface modes over 40 frames
+    a = (rng.rand(20, 30) * 0.2)
+    a[:, :10] += 0.8
+    b = (rng.rand(20, 30) * 0.2)
+    b[:, 20:] += 0.8
+    probs = np.concatenate([a, b])
+    labels, centers = cluster_md_interface_patterns(probs, n_clusters=2)
+    assert len(set(labels[:20])) == 1
+    assert labels[0] != labels[25]
