@@ -57,6 +57,10 @@ class PestoConfig:
     # the edge loop and the edge matmul is a single MXU-aligned [4S x .]
     # contraction. Same parameters, same math up to fp reduction order.
     fused_edges: bool = True
+    # run the post-gather layer chain as one Pallas kernel (see
+    # ops/geometric_pallas.py; currently slower than the XLA fused path —
+    # kept for experimentation, inference-only)
+    pallas_edges: bool = False
 
     @property
     def feature_flags(self):

@@ -122,6 +122,7 @@ class StateUpdate(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     fused: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, q, p, q_nn, p_nn, d_nn, r_nn):
@@ -240,6 +241,24 @@ class StateUpdate(nn.Module):
         K2 = K2.at[2 * S :, 4 * Nk :].set(k2v.astype(dt))
         B2 = jnp.concatenate([b2q, b2p, b2v]).astype(dt)
 
+        if self.pallas:
+            from ..ops.geometric_pallas import fused_edge_attention
+
+            Q = MLP3((S, S, 2 * Nk * Nh), dt, prec, name="nqm")(X_n)
+            qp_nn = jnp.concatenate([q_nn, p_nn.reshape(N, n_nn, 3 * S)], axis=2)
+            k2p = jnp.zeros((H, 128), dt).at[:, :n_out].set(K2)
+            b2p = jnp.zeros((128,), dt).at[:n_out].set(B2)
+            Zq, Zp_flat = fused_edge_attention(
+                qp_nn, d_nn, r_nn, q, p.reshape(N, 3 * S),
+                K0[: 1 + 2 * S], B0, K0[1 + 2 * S :], K1, B1, k2p, b2p, Q,
+                S=S, Nh=Nh, Nk=Nk, nn=n_nn,
+            )
+            qh = MLP3((S, S, S), dt, prec, name="qpm")(Zq)
+            ph = nn.Dense(S, use_bias=False, dtype=dt, precision=prec, name="ppm")(
+                Zp_flat.reshape(N, 3, Nh * S)
+            )
+            return q + qh, p + ph
+
         # layer 0 decomposition: per-edge 4S-contraction + per-atom terms
         per_atom = jnp.einsum("ns,sh->nh", X_n, K0[1 : 1 + 2 * S], precision=prec) + B0
         h = (
@@ -298,6 +317,7 @@ class StateUpdateLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     fused: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, q, p, ids_topk, D_nn, R_nn, atom_mask):
@@ -311,7 +331,7 @@ class StateUpdateLayer(nn.Module):
         qp_nn = jnp.take(qp, ids_nn, axis=0)                    # [N, nn, 4S]
         q_nn = qp_nn[..., :S]
         p_nn = qp_nn[..., S:].reshape(N, nn_k, 3, S)
-        q, p = StateUpdate(self.cfg, self.dtype, self.precision, self.fused, name="su")(
+        q, p = StateUpdate(self.cfg, self.dtype, self.precision, self.fused, self.pallas, name="su")(
             q,
             p,
             q_nn,
@@ -345,11 +365,12 @@ class _ScanBody(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     fused: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         q, p, ids_topk, D_nn, R_nn, atom_mask = carry
-        q, p = StateUpdateLayer(self.cfg, self.dtype, self.precision, self.fused, name="sul")(
+        q, p = StateUpdateLayer(self.cfg, self.dtype, self.precision, self.fused, self.pallas, name="sul")(
             q, p, ids_topk, D_nn, R_nn, atom_mask
         )
         return (q, p, ids_topk, D_nn, R_nn, atom_mask), None
@@ -416,12 +437,12 @@ class PestoModel(nn.Module):
                     variable_axes={"params": 0},
                     split_rngs={"params": True},
                     length=n,
-                )(lc, dtype, prec, cfg.fused_edges, name=f"sulg_{g}")
+                )(lc, dtype, prec, cfg.fused_edges, cfg.pallas_edges, name=f"sulg_{g}")
                 (q, p, *_), _ = scan((q, p, ids_topk, D_nn, R_nn, atom_mask), None)
         else:
             layer_cls = nn.remat(StateUpdateLayer) if cfg.remat else StateUpdateLayer
             for i, lc in enumerate(cfg.layers):
-                q, p = layer_cls(lc, dtype, prec, cfg.fused_edges, name=f"sul_{i}")(
+                q, p = layer_cls(lc, dtype, prec, cfg.fused_edges, cfg.pallas_edges, name=f"sul_{i}")(
                     q, p, ids_topk, D_nn, R_nn, atom_mask
                 )
 

@@ -1,0 +1,37 @@
+"""Pallas fused layer kernel: interpret-mode parity with the XLA model."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from pesto_tpu.models import PestoModel, get_config
+from pesto_tpu.models.pesto import init_params
+from pesto_tpu.ops import geometric_pallas
+from pesto_tpu.synthetic import random_padded_structure
+
+
+def test_pallas_model_path_matches_xla(monkeypatch):
+    # force interpret mode inside the kernel (tests run on CPU)
+    orig = geometric_pallas.fused_edge_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(geometric_pallas, "fused_edge_attention", interp)
+
+    base = get_config("i_v4_0", remat=False)
+    cfg_x = base.replace(layers=base.layers[:2])
+    cfg_p = cfg_x.replace(pallas_edges=True)
+
+    params = init_params(cfg_x, na=256, nr=32)
+    ps = random_padded_structure(n_atoms=200, n_res=30, na=256, nr=32, seed=0)
+
+    zx = jax.jit(lambda pp: PestoModel(cfg_x).apply(
+        {"params": pp}, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask))(params)
+    zp = jax.jit(lambda pp: PestoModel(cfg_p).apply(
+        {"params": pp}, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask))(params)
+
+    np.testing.assert_allclose(np.asarray(zx), np.asarray(zp), atol=5e-5, rtol=1e-4)
