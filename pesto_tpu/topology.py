@@ -32,8 +32,14 @@ _BIG = jnp.float32(1e10)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "row_block"))
-def knn_topology(Xp: jax.Array, atom_mask: jax.Array, k: int = 64, row_block: int = 512):
+def knn_topology(Xp: jax.Array, atom_mask: jax.Array, k: int = 64, row_block: int = 1024):
     """Top-k nearest-neighbor topology on a padded structure.
+
+    MXU formulation: squared distances via the Gram matrix
+    (|xi|^2 + |xj|^2 - 2 xi.xj, one [NA,3]x[3,NA] matmul per row block)
+    instead of materializing the [NA, NA, 3] displacement tensor; top-k
+    selects on squared distances (order-equivalent), and exact distances /
+    unit displacements are recomputed only for the selected neighbors.
 
     Args:
       Xp:        [NA, 3] float32 padded coordinates; row 0 is the sink.
@@ -51,44 +57,56 @@ def knn_topology(Xp: jax.Array, atom_mask: jax.Array, k: int = 64, row_block: in
     NA = Xp.shape[0]
     mask = atom_mask.astype(jnp.float32)
     valid_col = mask[None, :]  # [1, NA]
+    prec = jax.lax.Precision.HIGHEST
 
-    def block_minmax(carry, xb_mb):
-        xb, mb = xb_mb
-        R = xb[:, None, :] - Xp[None, :, :]
-        D = jnp.sqrt(jnp.sum(R * R, axis=-1))
-        pair_ok = (mb[:, None] * valid_col) > 0
-        dmax = jnp.max(jnp.where(pair_ok, D, -jnp.inf))
-        return jnp.maximum(carry, dmax), None
+    # center on valid atoms to minimize cancellation in the Gram form
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    center = jnp.sum(Xp * mask[:, None], axis=0) / n_valid
+    Xc = (Xp - center) * mask[:, None]
+    sq = jnp.sum(Xc * Xc, axis=-1)  # [NA]
 
     nb = (NA + row_block - 1) // row_block
     pad_rows = nb * row_block - NA
-    Xb = jnp.pad(Xp, ((0, pad_rows), (0, 0))).reshape(nb, row_block, 3)
+    Xb = jnp.pad(Xc, ((0, pad_rows), (0, 0))).reshape(nb, row_block, 3)
+    Sb = jnp.pad(sq, (0, pad_rows)).reshape(nb, row_block)
     Mb = jnp.pad(mask, (0, pad_rows)).reshape(nb, row_block)
 
-    # pass 1: global max distance over valid pairs (the reference's max(D))
-    Dmax, _ = jax.lax.scan(block_minmax, -jnp.inf, (Xb, Mb))
-    Dmax = jnp.maximum(Dmax, 0.0).astype(jnp.float32)
-
-    # pass 2: blocked top-k
-    def block_topk(xb, mb):
-        R = xb[:, None, :] - Xp[None, :, :]  # [rb, NA, 3]
-        D = jnp.sqrt(jnp.sum(R * R, axis=-1))  # [rb, NA]
+    def block_dsq(xb, sb, mb):
+        G = jnp.dot(xb, Xc.T, precision=prec)          # [rb, NA] on the MXU
+        Dsq = jnp.maximum(sb[:, None] + sq[None, :] - 2.0 * G, 0.0)
         pair_ok = (mb[:, None] * valid_col) > 0
-        D = D + Dmax * (D < 1e-2).astype(D.dtype)  # self/duplicate masking
-        D = jnp.where(pair_ok, D, _BIG)
-        neg_top, ids = jax.lax.top_k(-D, k)  # ascending distance
-        d_top = -neg_top
-        ok = d_top < (_BIG * 0.5)
-        ids = jnp.where(ok, ids, 0).astype(jnp.int32)
-        d_top = jnp.where(ok, d_top, 0.0)
-        r_top = jnp.take(Xp, ids, axis=0) - xb[:, None, :]
-        r_top = jnp.where(ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0)
-        return ids, d_top, r_top
+        return Dsq, pair_ok
 
-    ids, d_top, r_top = jax.lax.map(lambda a: block_topk(*a), (Xb, Mb))
+    # pass 1: global max squared distance over valid pairs
+    def block_max(carry, args):
+        Dsq, pair_ok = block_dsq(*args)
+        return jnp.maximum(carry, jnp.max(jnp.where(pair_ok, Dsq, -jnp.inf))), None
+
+    Dsq_max, _ = jax.lax.scan(block_max, -jnp.inf, (Xb, Sb, Mb))
+    Dsq_max = jnp.maximum(Dsq_max, 0.0).astype(jnp.float32)
+    Dmax = jnp.sqrt(Dsq_max)
+
+    # pass 2: blocked top-k on masked squared distances (order-equivalent
+    # to the reference's D + Dmax*(D<1e-2) masking on true distances)
+    def block_topk(xb, sb, mb):
+        Dsq, pair_ok = block_dsq(xb, sb, mb)
+        Dsq = Dsq + (Dsq_max + 1.0) * (Dsq < 1e-4).astype(Dsq.dtype)
+        Dsq = jnp.where(pair_ok, Dsq, _BIG)
+        neg_top, ids = jax.lax.top_k(-Dsq, k)
+        ok = -neg_top < (_BIG * 0.5)
+        return jnp.where(ok, ids, 0).astype(jnp.int32), ok
+
+    ids, ok = jax.lax.map(lambda a: block_topk(*a), (Xb, Sb, Mb))
     ids = ids.reshape(nb * row_block, k)[:NA]
-    d_top = d_top.reshape(nb * row_block, k)[:NA]
-    r_top = r_top.reshape(nb * row_block, k, 3)[:NA]
+    ok = ok.reshape(nb * row_block, k)[:NA]
+
+    # exact distances / unit displacements for the selected neighbors only,
+    # with the reference's self/duplicate masking (src/data_encoding.py:93)
+    r_top = jnp.take(Xp, ids, axis=0) - Xp[:, None, :]
+    d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
+    d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
+    d_top = jnp.where(ok, d_top, 0.0)
+    r_top = jnp.where(ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0)
     return ids, d_top, r_top
 
 
