@@ -31,19 +31,22 @@ def _schedule(reps: int) -> Tuple[LayerConfig, ...]:
 
 @dataclasses.dataclass(frozen=True)
 class PestoConfig:
-    # embedding MLP (em): N0 -> N1 features
+    # embedding MLP (em): N0 -> N1 features; the v3 snapshots use a
+    # single linear embedding
     em_n0: int = 30
     em_n1: int = 32
+    em_single: bool = False
     # geometric state-update stack
     layers: Tuple[LayerConfig, ...] = _schedule(8)
     # atom->residue attention pool (spl)
     spl_n0: int = 32
     spl_n1: int = 32
     spl_nh: int = 4
-    # decoder MLP (dm)
+    # decoder MLP (dm); i_v3_1's snapshot uses a single linear decoder
     dm_n0: int = 32
     dm_n1: int = 32
     dm_n2: int = 5
+    dm_single: bool = False
     # numerics
     dtype: str = "float32"          # compute dtype: float32 | bfloat16
     param_dtype: str = "float32"
@@ -75,7 +78,7 @@ PRESETS = {
     "i_v4_1": PestoConfig(),
     "i_v4_0": PestoConfig(layers=_schedule(4)),
     "i_v3_0": PestoConfig(em_n0=123, layers=_schedule(4)),
-    "i_v3_1": PestoConfig(em_n0=123, layers=_schedule(4), dm_n2=1),
+    "i_v3_1": PestoConfig(em_n0=123, layers=_schedule(4), dm_n2=1, dm_single=True, em_single=True),
 }
 
 

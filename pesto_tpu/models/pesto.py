@@ -423,7 +423,8 @@ class PestoModel(nn.Module):
 
         # feature embedding; sink/padding rows are zero *after* the MLP,
         # matching the reference's zero-row prepend (model/model.py:34-40)
-        q = MLP3((cfg.em_n1, cfg.em_n1, cfg.em_n1), dtype, prec, name="em")(q0)
+        em_feats = (cfg.em_n1,) if cfg.em_single else (cfg.em_n1, cfg.em_n1, cfg.em_n1)
+        q = MLP3(em_feats, dtype, prec, name="em")(q0)
         q = q * atom_mask[:, None]
         p = jnp.zeros((X.shape[0], 3, cfg.em_n1), dtype=q.dtype)
 
@@ -450,7 +451,8 @@ class PestoModel(nn.Module):
                            name="spl")(q, p, M)
 
         zr = jnp.concatenate([qr, safe_norm(pr, axis=1)], axis=1)
-        z = MLP3((cfg.dm_n1, cfg.dm_n1, cfg.dm_n2), dtype, prec, name="dm")(zr)
+        dm_feats = (cfg.dm_n2,) if cfg.dm_single else (cfg.dm_n1, cfg.dm_n1, cfg.dm_n2)
+        z = MLP3(dm_feats, dtype, prec, name="dm")(zr)
         return z
 
 
