@@ -52,6 +52,9 @@ class PestoConfig:
     param_dtype: str = "float32"
     precision: str = "highest"       # matmul precision: highest | default
     remat: bool = True               # per-layer activation rematerialization
+    # remat policy: "full" recomputes everything; "dots" saves MXU outputs
+    # and recomputes only elementwise work in the backward pass
+    remat_policy: str = "full"
     # scan identical-layer groups with lax.scan: ~G x smaller XLA program
     # (the 32-layer stack compiles as 4 bodies), same math
     scan_layers: bool = True

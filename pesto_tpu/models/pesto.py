@@ -431,7 +431,15 @@ class PestoModel(nn.Module):
         D_nn, R_nn = unpack_state_features(X, ids_topk, atom_mask, n_real)
 
         if cfg.scan_layers:
-            body = nn.remat(_ScanBody, prevent_cse=False) if cfg.remat else _ScanBody
+            if cfg.remat:
+                policy = (
+                    jax.checkpoint_policies.dots_saveable
+                    if cfg.remat_policy == "dots"
+                    else None
+                )
+                body = nn.remat(_ScanBody, prevent_cse=False, policy=policy)
+            else:
+                body = _ScanBody
             for g, (lc, n) in enumerate(layer_groups(cfg)):
                 scan = nn.scan(
                     body,
