@@ -11,7 +11,7 @@ stubbed with a clear error in this environment.
 import glob
 import json
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -15,8 +15,6 @@ import glob
 import os
 import sys
 
-import numpy as np
-
 
 def collect_pdbs(inputs):
     paths = []
@@ -61,7 +59,6 @@ def main(argv=None):
     if args.ckpt:
         pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
     elif args.orbax:
-        from ..models.pesto import init_params
         from ..train.checkpoint import restore_checkpoint
         from ..train.state import create_train_state
 

@@ -11,7 +11,7 @@ on every row matching exactly one class); here unmatched rows are ignored,
 which is identical behavior wherever the reference doesn't crash.
 """
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import h5py
 import numpy as np

@@ -10,7 +10,7 @@ constant (the reference is locked to batch_size=1 by raggedness).
 
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -7,8 +7,7 @@ host-side encode/pad pipeline. Padding makes every call shape-static, so
 XLA compiles each bucket exactly once per process.
 """
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -17,17 +16,13 @@ import numpy as np
 from .batching import PaddedStructure, encode_and_pad, stack_batch
 from .models import PestoConfig, PestoModel
 from .port import load_reference_checkpoint
-from .structure import (
-    clean_structure,
-    concatenate_chains,
-    preprocess_structure,
-)
+from .structure import concatenate_chains, preprocess_structure
 
 
 class Predictor:
     """Bucketed jitted inference on padded structures."""
 
-    def __init__(self, cfg: PestoConfig, params, donate: bool = False):
+    def __init__(self, cfg: PestoConfig, params):
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params

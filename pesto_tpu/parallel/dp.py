@@ -6,7 +6,7 @@ all-reduce (psum over ICI) automatically because the loss sums over the
 sharded batch axis while parameters carry a replicated sharding."""
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..batching import PaddedStructure
 from ..train.step import build_eval_step_fn, build_train_step_fn

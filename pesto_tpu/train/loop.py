@@ -24,7 +24,7 @@ from ..data.loader import BucketedLoader
 from ..data.selection import select_by_interface_types, select_by_max_ba, select_by_sid
 from ..encoding import categ_to_resnames
 from ..metrics import bc_score_names, bc_scoring, nanmean
-from ..models import PestoConfig, get_config
+from ..models import PestoConfig
 from .checkpoint import restore_checkpoint, save_checkpoint, save_config_snapshot
 from .logger import Logger
 from .state import create_train_state

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models import PestoConfig, PestoModel
+from ..models import PestoConfig
 from ..models.pesto import init_params
 
 

@@ -5,10 +5,7 @@ and run the vmapped model, the dynamic pos_ratios update, the rebalanced
 BCE, and (for training) the Adam update — one XLA program per bucket shape
 (reference loop: model/main.py:179-204)."""
 
-import functools
-
 import jax
-import jax.numpy as jnp
 
 from ..batching import PaddedStructure
 from ..models import PestoConfig, PestoModel

@@ -5,8 +5,6 @@ cutoff, hydrogen-free criterion suitable for heavy-atom-only structures)."""
 
 import numpy as np
 
-from .geometry import pairwise_distance_matrix
-
 DONOR_ACCEPTOR_ELEMENTS = ("N", "O")
 HBOND_DISTANCE = 3.5  # Angstrom heavy-atom donor-acceptor cutoff
 
