@@ -1,0 +1,83 @@
+"""CLI app smoke tests with a tiny random-weight model (CPU)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from pesto_tpu.infer import Predictor
+from pesto_tpu.models import get_config
+from pesto_tpu.models.pesto import init_params
+
+from tests.test_data import _two_chain_pdb
+
+
+@pytest.fixture()
+def tiny_predictor(monkeypatch):
+    cfg = get_config("i_v4_0", remat=False)
+    cfg = cfg.replace(layers=cfg.layers[:2])
+    monkeypatch.setattr(
+        Predictor,
+        "from_reference_checkpoint",
+        classmethod(lambda cls, path, _cfg: Predictor(cfg, init_params(cfg))),
+    )
+    return cfg
+
+
+@pytest.fixture()
+def mini_h5(tmp_path):
+    from pesto_tpu.data.build import build_dataset_h5
+
+    pdb = _two_chain_pdb(tmp_path)
+    h5 = str(tmp_path / "m.h5")
+    build_dataset_h5([pdb], h5, progress=False)
+    return h5
+
+
+def test_apply_model_cli(tmp_path, tiny_predictor):
+    from pesto_tpu.apps import apply_model
+
+    pdb = _two_chain_pdb(tmp_path)
+    out = str(tmp_path / "out")
+    apply_model.main([pdb, "--out", out, "--model", "i_v4_0", "--ckpt", "x"])
+    files = sorted(os.listdir(out))
+    assert [f[-7:] for f in files] == [f"_i{k}.pdb" for k in range(5)]
+    # predictions in the b-factor column, within [0, 1]
+    bf = [float(l[60:66]) for l in open(os.path.join(out, files[0])) if l.startswith("ATOM")]
+    assert all(0.0 <= b <= 1.0 for b in bf)
+
+
+def test_profiling_cli(tmp_path, tiny_predictor):
+    from pesto_tpu.apps import profiling
+
+    pdb = _two_chain_pdb(tmp_path)
+    out = str(tmp_path / "prof.csv")
+    profiling.main([pdb, "--out", out, "--min-atoms", "1"])
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == 1
+    assert float(rows[0]["t_run"]) > 0
+    assert int(rows[0]["size"]) > 100
+
+
+def test_evaluate_cli(tmp_path, tiny_predictor, mini_h5):
+    from pesto_tpu.apps import evaluate
+
+    out = str(tmp_path / "eval.csv")
+    evaluate.main(["--dataset", mini_h5, "--out", out, "--min-num-res", "4", "--per-class", "4"])
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) >= 1
+    assert "auc" in rows[0]
+
+
+def test_confidence_cli(tmp_path, tiny_predictor, mini_h5):
+    from pesto_tpu.apps import confidence
+
+    out = str(tmp_path / "conf.csv")
+    confidence.main(["--dataset", mini_h5, "--out", out, "--limit", "4", "--bins", "5"])
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == 5
+    total = sum(int(r["count"]) for r in rows)
+    assert total > 0
