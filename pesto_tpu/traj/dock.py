@@ -74,6 +74,40 @@ def fnat(xyz_ref_R, xyz_ref_L, resids_R, resids_L, frames_R, frames_L, r_thr=5.0
     return (rc & rc_ref[None]).sum(axis=(1, 2)) / denom
 
 
+def interface_rigid_docking(
+    xyz_ref_R, xyz_ref_L, resids_R, resids_L, frames_R, frames_L, r_thr=10.0
+):
+    """Rigid-docking offset of the ligand relative to the bound reference:
+    superpose each frame's receptor interface onto the (interface-centered)
+    reference, then find the residual rotation (as a rotation vector) and
+    translation that would map the frame's ligand interface onto the
+    reference's (reference interface_rigid_docking,
+    trajectory_utils.py:474-499). Returns (t [T,3], rotvec [T,3])."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from .geometry import superpose_transform
+
+    ids_R, ids_L = interface_atom_ids(xyz_ref_R, xyz_ref_L, resids_R, resids_L, r_thr)
+
+    ref_R = np.asarray(xyz_ref_R, dtype=np.float32)
+    ref_L = np.asarray(xyz_ref_L, dtype=np.float32)
+    center = ref_R[ids_R].mean(axis=0, keepdims=True)
+    ref_R_c = ref_R - center
+    ref_L_c = ref_L - center
+
+    frames_R = np.asarray(frames_R, dtype=np.float32)
+    frames_L = np.asarray(frames_L, dtype=np.float32)
+    # superpose frames on the receptor interface
+    t, R, t_ref = superpose_transform(ref_R_c[None, ids_R], frames_R[:, ids_R])
+    sup_L = np.asarray(jnp.matmul(jnp.asarray(frames_L) - t, R) + t_ref)
+    # residual ligand-interface transform
+    t_cm, R2, t_ref2 = superpose_transform(ref_L_c[None, ids_L], sup_L[:, ids_L])
+    rotvec = Rotation.from_matrix(np.asarray(R2)).as_rotvec()
+    t_out = (np.asarray(t_ref2) - np.asarray(t_cm)).squeeze(1)
+    return t_out, rotvec
+
+
 def contacts_per_frame(frames_R, frames_L, r_thr=5.0):
     """Per-frame inter-subunit atom contact counts and boolean any-contact
     per atom of R (reference contacts, trajectory_utils.py:393-425)."""

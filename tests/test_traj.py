@@ -166,3 +166,28 @@ def test_density_peak_clustering():
     assert len(set(labels[:30])) == 1
     assert len(set(labels[30:])) == 1
     assert labels[0] != labels[30]
+
+
+def test_interface_rigid_docking_identity_and_shift():
+    from pesto_tpu.traj.dock import interface_rigid_docking
+
+    def chain(xoff):
+        xyz = []
+        rng = np.random.RandomState(3)
+        for r in range(8):
+            for a in range(3):
+                xyz.append([r * 3.5 + rng.rand()*0.2, xoff + rng.rand()*0.2, a * 1.2])
+        return np.array(xyz, dtype=np.float32)
+
+    xr, xl = chain(0.0), chain(4.0)
+    rr = np.repeat(np.arange(8), 3)
+
+    # identical frame -> no residual transform
+    t, rv = interface_rigid_docking(xr, xl, rr, rr, xr[None], xl[None])
+    assert np.abs(t[0]).max() < 1e-3
+    assert np.abs(rv[0]).max() < 1e-3
+
+    # translate the ligand by 2 A -> residual translation magnitude ~2
+    t2, rv2 = interface_rigid_docking(xr, xl, rr, rr, xr[None], (xl + [0, 2.0, 0])[None])
+    assert 1.5 < np.linalg.norm(t2[0]) < 2.5
+    assert np.abs(rv2[0]).max() < 1e-2
