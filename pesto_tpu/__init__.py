@@ -21,3 +21,24 @@ Layers (mirroring the reference layer map in SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "Predictor": ("pesto_tpu.infer", "Predictor"),
+    "PestoModel": ("pesto_tpu.models", "PestoModel"),
+    "PestoConfig": ("pesto_tpu.models", "PestoConfig"),
+    "get_config": ("pesto_tpu.models", "get_config"),
+    "read_pdb": ("pesto_tpu.io", "read_pdb"),
+    "save_pdb": ("pesto_tpu.io", "save_pdb"),
+    "load_reference_checkpoint": ("pesto_tpu.port", "load_reference_checkpoint"),
+}
+
+
+def __getattr__(name):
+    # lazy top-level API: `from pesto_tpu import Predictor` without paying
+    # jax/flax import cost for host-only uses
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'pesto_tpu' has no attribute {name!r}")
