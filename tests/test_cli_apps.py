@@ -81,3 +81,29 @@ def test_confidence_cli(tmp_path, tiny_predictor, mini_h5):
     assert len(rows) == 5
     total = sum(int(r["count"]) for r in rows)
     assert total > 0
+
+
+def test_md_cli(tmp_path, tiny_predictor):
+    from pesto_tpu.apps import md as md_app
+    from pesto_tpu.io import read_pdb, save_traj_pdb
+    from pesto_tpu.structure import preprocess_structure, concatenate_chains
+
+    ref_pdb = _two_chain_pdb(tmp_path, name="ref.pdb1")
+    # build a 3-frame trajectory of the A chain
+    subunits = preprocess_structure(read_pdb(ref_pdb))
+    a_chains = {c: subunits[c] for c in subunits if c.startswith("A")}
+    merged = concatenate_chains(a_chains)
+    rng = np.random.RandomState(0)
+    frames = np.stack([merged["xyz"] + 0.02 * t * rng.rand(*merged["xyz"].shape).astype(np.float32)
+                       for t in range(3)])
+    su = {k: dict(merged) for k in ["A"]}
+    su["A"]["xyz"] = frames
+    su["A"].pop("chain_name", None)
+    traj_pdb = str(tmp_path / "traj.pdb")
+    save_traj_pdb(su, traj_pdb)
+
+    out = str(tmp_path / "md.csv")
+    md_app.main([traj_pdb, "--ref", ref_pdb, "--every", "1", "--chunk", "2",
+                 "--ckpt", "x", "--out", out])
+    rows = list(csv.DictReader(open(out)))
+    assert len(rows) == 3
