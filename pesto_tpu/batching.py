@@ -106,9 +106,9 @@ def pad_structure_arrays(
     )
 
 
-def compute_topology(ps: PaddedStructure, k: int = NUM_NN) -> PaddedStructure:
+def compute_topology(ps: PaddedStructure, k: int = NUM_NN, method: str = "exact") -> PaddedStructure:
     """Fill ids_topk on device (one jit per bucket shape)."""
-    ids, _, _ = knn_topology(ps.X, ps.atom_mask, k=k)
+    ids, _, _ = knn_topology(ps.X, ps.atom_mask, k=k, method=method)
     return dataclasses.replace(ps, ids_topk=ids)
 
 
@@ -118,6 +118,7 @@ def encode_and_pad(
     na: Optional[int] = None,
     nr: Optional[int] = None,
     with_topology: bool = True,
+    knn_method: str = "exact",
 ) -> PaddedStructure:
     """Full host path: structure record -> padded device arrays.
 
@@ -129,7 +130,7 @@ def encode_and_pad(
     q = np.concatenate([f for f, flag in zip(feats, feature_flags) if flag], axis=1)
     ps = pad_structure_arrays(X, q, M, na=na, nr=nr)
     if with_topology:
-        ps = compute_topology(ps)
+        ps = compute_topology(ps, method=knn_method)
     return ps
 
 

@@ -22,10 +22,11 @@ from .structure import concatenate_chains, preprocess_structure
 class Predictor:
     """Bucketed jitted inference on padded structures."""
 
-    def __init__(self, cfg: PestoConfig, params):
+    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact"):
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params
+        self.knn_method = knn_method  # "fast": ~2.6x kNN, far-tail swaps only
         self._single = jax.jit(self._apply)
         self._batched = jax.jit(jax.vmap(self._apply, in_axes=(None, 0, 0, 0, 0, 0)))
 
@@ -48,7 +49,9 @@ class Predictor:
 
     def predict_structure(self, structure: dict) -> np.ndarray:
         """Cleaned+concatenated structure record -> [n_res, C] probs."""
-        ps = encode_and_pad(structure, feature_flags=self.cfg.feature_flags)
+        ps = encode_and_pad(
+            structure, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method
+        )
         nr = int(np.sum(np.asarray(ps.res_mask)))
         return self.probabilities(ps)[:nr]
 
@@ -69,7 +72,9 @@ class Predictor:
         batches for throughput. Returns a list of [n_res_i, C] arrays."""
         encoded = []
         for i, s in enumerate(structures):
-            ps = encode_and_pad(s, feature_flags=self.cfg.feature_flags)
+            ps = encode_and_pad(
+                s, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method
+            )
             encoded.append((i, ps))
         buckets: Dict[tuple, list] = {}
         for i, ps in encoded:

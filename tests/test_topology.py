@@ -88,3 +88,20 @@ def test_extract_all_contacts():
     # symmetric distances
     np.testing.assert_allclose(contacts["A"]["B"]["d"], contacts["B"]["A"]["d"])
     assert np.all(contacts["A"]["B"]["d"] < 5.0)
+
+
+def test_knn_fast_method_agreement():
+    n = 2000
+    X = _rand_coords(n, seed=11) * 2  # protein-like density
+    NA = n + 1
+    Xp = np.zeros((NA, 3), dtype=np.float32)
+    Xp[1:] = X
+    mask = np.zeros(NA, dtype=np.float32)
+    mask[1:] = 1.0
+    ids_e, d_e, _ = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=64, method="exact")
+    ids_f, d_f, _ = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=64, method="fast")
+    ids_e, ids_f = np.asarray(ids_e)[1:], np.asarray(ids_f)[1:]
+    agree = np.mean([len(set(ids_e[r]) & set(ids_f[r])) / 64 for r in range(0, n, 13)])
+    assert agree > 0.98
+    # the near-neighbor prefix (what small-nn layers consume) matches
+    assert np.mean(ids_e[:, :16] == ids_f[:, :16]) > 0.999
