@@ -104,3 +104,57 @@ def count_params(params) -> int:
     import jax
 
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def params_to_torch_state_dict(params, cfg: PestoConfig) -> Dict:
+    """Inverse port: a PestoModel params pytree -> a reference-layout torch
+    state_dict (including the sdk / m_nn buffers the reference stores), so
+    models trained here load into the reference implementation."""
+    import torch
+
+    sd: Dict = {}
+
+    def put_dense(prefix, leaf):
+        sd[prefix + ".weight"] = torch.from_numpy(np.asarray(leaf["kernel"]).T.copy())
+        if "bias" in leaf:
+            sd[prefix + ".bias"] = torch.from_numpy(np.asarray(leaf["bias"]).copy())
+
+    def put_mlp(prefix, node):
+        for i, name in _MLP_IDX.items():
+            if name in node:
+                put_dense(f"{prefix}.{i}", node[name])
+
+    put_mlp("em", params["em"])
+    put_mlp("dm", params["dm"])
+    for mlp in ("sam", "zdm"):
+        put_mlp(f"spl.{mlp}", params["spl"][mlp])
+    put_dense("spl.zdm_vec.0", params["spl"]["zdm_vec"])
+
+    def put_layer(i, node, lc):
+        base = f"sum.{i}"
+        sd[f"{base}.m_nn"] = torch.arange(lc.nn, dtype=torch.int64)
+        sd[f"{base}.su.sdk"] = torch.sqrt(torch.tensor(float(lc.Nk)))
+        for mlp in ("nqm", "eqkm", "epkm", "evm", "qpm"):
+            put_mlp(f"{base}.su.{mlp}", node[mlp])
+        put_dense(f"{base}.su.ppm.0", node["ppm"])
+
+    if cfg.scan_layers:
+        from .models.pesto import layer_groups
+
+        i = 0
+        for g, (lc, n) in enumerate(layer_groups(cfg)):
+            group = params[f"sulg_{g}"]["sul"]["su"]
+            for j in range(n):
+                node = _index_tree(group, j)
+                put_layer(i, node, lc)
+                i += 1
+    else:
+        for i, lc in enumerate(cfg.layers):
+            put_layer(i, params[f"sul_{i}"]["su"], lc)
+    return sd
+
+
+def _index_tree(tree, j):
+    if isinstance(tree, dict):
+        return {k: _index_tree(v, j) for k, v in tree.items()}
+    return np.asarray(tree)[j]

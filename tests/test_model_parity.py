@@ -174,3 +174,19 @@ def test_forward_parity_full_structure(torch_reference, predictor, example_pdb):
     z = np.asarray(predictor.logits(ps))[: M.shape[1]]
     perr = np.abs(jax.nn.sigmoid(z) - 1 / (1 + np.exp(-z_ref))).max()
     assert perr < 1e-4, f"probability err {perr}"
+
+
+def test_torch_export_roundtrip(torch_reference, predictor):
+    """params -> torch state_dict -> load into the reference model ->
+    identical state_dict values (exact roundtrip)."""
+    torch, ref_model = torch_reference
+    from pesto_tpu.models import get_config
+    from pesto_tpu.port import params_to_torch_state_dict
+
+    sd = params_to_torch_state_dict(predictor.params, get_config("i_v4_0", remat=False))
+    ref_sd = torch.load(CKPT, map_location="cpu", weights_only=True)
+    assert set(sd) == set(ref_sd)
+    for k in ref_sd:
+        assert torch.allclose(sd[k].float(), ref_sd[k].float(), atol=1e-7), k
+    # and it loads
+    ref_model.load_state_dict(sd)
