@@ -18,6 +18,10 @@ def main(argv=None):
     parser.add_argument("--test-sel", default=None)
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--lr-schedule", default="constant",
+                        choices=["constant", "cosine", "warmup_cosine"])
+    parser.add_argument("--warmup-steps", type=int, default=0)
+    parser.add_argument("--total-steps", type=int, default=1_000_000)
     parser.add_argument("--atoms-per-batch", type=int, default=16384)
     parser.add_argument("--max-batch", type=int, default=32)
     parser.add_argument("--log-step", type=int, default=1024)
@@ -48,6 +52,9 @@ def main(argv=None):
         test_selection_filepath=args.test_sel,
         num_epochs=args.epochs,
         learning_rate=args.lr,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.total_steps,
         atoms_per_batch=args.atoms_per_batch,
         max_batch=args.max_batch,
         log_step=args.log_step,

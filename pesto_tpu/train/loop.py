@@ -56,6 +56,9 @@ class TrainConfig:
     # runtime (reference config_runtime, model/config.py:68-81)
     num_epochs: int = 100
     learning_rate: float = 1e-5
+    lr_schedule: str = "constant"   # constant | cosine | warmup_cosine
+    warmup_steps: int = 0
+    total_steps: int = 1_000_000
     pos_weight_factor: float = 0.5
     log_step: int = 1024
     eval_step: int = 1024 * 8
@@ -146,6 +149,8 @@ def train(
     state, tx = create_train_state(
         model_cfg, learning_rate=tc.learning_rate,
         rng=jax.random.PRNGKey(tc.seed), params=init_params_from,
+        schedule=tc.lr_schedule, warmup_steps=tc.warmup_steps,
+        total_steps=tc.total_steps,
     )
 
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
@@ -167,10 +172,13 @@ def train(
 
     n_dev = len(jax.devices())
     batch_multiple = n_dev if (tc.use_mesh and n_dev > 1) else 1
+    # multi-host: each process reads its own shard of the dataset
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     loader_train = BucketedLoader(
         ds_train, ds_train.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
         shuffle=True, seed=tc.seed, batch_multiple=batch_multiple,
+        num_shards=n_proc, shard_index=proc_id,
     )
     loader_test = BucketedLoader(
         ds_test, ds_test.sizes_selected(),

@@ -33,14 +33,36 @@ class TrainState:
         )
 
 
+def make_lr_schedule(
+    learning_rate: float,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int = 1_000_000,
+):
+    """constant | cosine | warmup_cosine (the reference uses constant Adam,
+    model/main.py:159; schedules are standard production options)."""
+    if schedule == "constant" and warmup_steps == 0:
+        return learning_rate
+    if schedule == "cosine":
+        return optax.cosine_decay_schedule(learning_rate, total_steps)
+    if schedule == "warmup_cosine" or warmup_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, max(warmup_steps, 1), total_steps
+        )
+    return learning_rate
+
+
 def create_train_state(
     cfg: PestoConfig,
     learning_rate: float = 1e-5,
     rng: jax.Array = None,
     params: Any = None,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int = 1_000_000,
 ) -> tuple:
     """Returns (state, optimizer). Pass ported params to fine-tune."""
-    tx = optax.adam(learning_rate)
+    tx = optax.adam(make_lr_schedule(learning_rate, schedule, warmup_steps, total_steps))
     if params is None:
         params = init_params(cfg, rng)
     state = TrainState(
