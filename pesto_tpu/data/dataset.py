@@ -53,6 +53,9 @@ class H5Dataset:
             self.std_names = np.array(hf["metadata/std_names"]).astype(np.dtype("U"))
             self.mids = np.array(hf["metadata/mids"]).astype(np.dtype("U"))
 
+        # assembly root keys ("{hash}/{pdbid}/{bid}"), used by
+        # select_complete_assemblies (reference src/dataset.py:28-33)
+        self.rkeys = np.array(["/".join(k.split("/")[:3]) for k in self.keys])
         self.m = np.ones(len(self.keys), dtype=bool)
         self._update_selection()
         self.t0 = np.arange(self.mids.shape[0])

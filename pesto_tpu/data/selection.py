@@ -17,8 +17,12 @@ def select_by_max_ba(dataset, max_ba):
 
 
 def select_complete_assemblies(dataset, m):
-    rmkeys = np.unique(dataset.keys[~m])
-    return ~np.isin(dataset.rkeys, rmkeys)
+    """Keep only entries of assemblies with no removed subunit. (The
+    reference's version references an undefined `rkeys` attribute and is
+    effectively dead code; this implements the intended semantics against
+    H5Dataset.rkeys = per-entry assembly root keys.)"""
+    rm_roots = np.unique(dataset.rkeys[~m])
+    return ~np.isin(dataset.rkeys, rm_roots)
 
 
 def select_by_interface_types(dataset, l_types, r_types):

@@ -89,6 +89,55 @@ def center_frames(xyz_frames):
     return xyz - xyz.mean(axis=-2, keepdims=True)
 
 
+def join_trajectories(frames_list):
+    """Concatenate trajectories along the frame axis (reference
+    join_trajectories, trajectory_utils.py:7-20; topology equality is the
+    caller's responsibility)."""
+    frames_list = [np.asarray(f, dtype=np.float32) for f in frames_list]
+    n = frames_list[0].shape[1]
+    assert all(f.shape[1] == n for f in frames_list), "mismatching atom counts"
+    return np.concatenate(frames_list, axis=0)
+
+
+def atoms_per_chain(structure):
+    """Atom indices per chain (reference get_atoms_per_chain,
+    trajectory_utils.py:23-25)."""
+    chains = np.asarray(structure["chain_name"])
+    return {str(c): np.where(chains == c)[0] for c in np.unique(chains)}
+
+
+def remove_hydrogens(structure):
+    """Drop H/D atoms (reference rm_h, trajectory_utils.py:180-181)."""
+    from ..structure import atom_select
+
+    m = ~np.isin(np.asarray(structure["element"]), ("H", "D"))
+    return atom_select(structure, m)
+
+
+def residue_atom_mask(structure):
+    """[n_res, n_atoms] bool mask mapping residues to their atoms
+    (reference residue_to_atom_index_mapping, trajectory_utils.py:184-187)."""
+    resids = np.asarray(structure["resid"])
+    return np.unique(resids).reshape(-1, 1) == resids.reshape(1, -1)
+
+
+def atoms_to_residue_contacts(resids_a, resids_b, ids_a, ids_b, d_ab):
+    """Aggregate atom-atom contacts to residue-residue contacts with the
+    minimum distance per pair (reference atoms_to_residue_contacts,
+    trajectory_utils.py:233-264). Returns (pairs [m,2], d_min [m])."""
+    ra = np.asarray(resids_a)[np.asarray(ids_a)]
+    rb = np.asarray(resids_b)[np.asarray(ids_b)]
+    d_ab = np.asarray(d_ab)
+    best = {}
+    for r0, r1, d in zip(ra, rb, d_ab):
+        key = (int(r0), int(r1))
+        if key not in best or d < best[key]:
+            best[key] = float(d)
+    pairs = np.array(sorted(best), dtype=np.int64).reshape(-1, 2)
+    dmin = np.array([best[tuple(p)] for p in pairs])
+    return pairs, dmin
+
+
 def unwrap_pbc(xyz_frames, box_lengths, anchors=None):
     """Remove periodic-boundary jumps between consecutive frames: any
     per-atom displacement larger than half a box length is shifted by a

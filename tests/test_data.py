@@ -172,3 +172,19 @@ def test_bucketed_loader(tmp_path):
         ids = np.asarray(b.ids_topk)
         am = np.asarray(b.atom_mask)
         assert np.all(ids[am == 0] == 0)
+
+
+def test_select_complete_assemblies(tmp_path):
+    from pesto_tpu.data import H5Dataset, select_complete_assemblies
+
+    pdb = _two_chain_pdb(tmp_path, name="9zzz.pdb1")
+    h5 = str(tmp_path / "ca.h5")
+    build_dataset_h5([pdb], h5, progress=False)
+    ds = H5Dataset(h5)
+    assert ds.rkeys.shape == ds.keys.shape
+    # removing one subunit entry invalidates its whole assembly
+    m = np.ones(len(ds.keys), dtype=bool)
+    m[0] = False
+    keep = select_complete_assemblies(ds, m)
+    assert not keep.any()  # single assembly in this dataset
+    assert select_complete_assemblies(ds, np.ones(len(ds.keys), dtype=bool)).all()

@@ -191,3 +191,36 @@ def test_interface_rigid_docking_identity_and_shift():
     t2, rv2 = interface_rigid_docking(xr, xl, rr, rr, xr[None], (xl + [0, 2.0, 0])[None])
     assert 1.5 < np.linalg.norm(t2[0]) < 2.5
     assert np.abs(rv2[0]).max() < 1e-2
+
+
+def test_geometry_small_utils():
+    from pesto_tpu.traj.geometry import (
+        atoms_per_chain,
+        atoms_to_residue_contacts,
+        join_trajectories,
+        remove_hydrogens,
+        residue_atom_mask,
+    )
+
+    s = {
+        "chain_name": np.array(["A", "A", "B"]),
+        "element": np.array(["C", "H", "O"]),
+        "resid": np.array([1, 1, 2]),
+        "xyz": np.zeros((3, 3), dtype=np.float32),
+        "name": np.array(["CA", "H1", "O"]),
+        "resname": np.array(["ALA", "ALA", "HOH"]),
+        "het_flag": np.array(["A", "A", "H"]),
+    }
+    apc = atoms_per_chain(s)
+    assert list(apc["A"]) == [0, 1] and list(apc["B"]) == [2]
+    s2 = remove_hydrogens(s)
+    assert len(s2["element"]) == 2
+    m = residue_atom_mask(s)
+    assert m.shape == (2, 3) and m[0, 0] and m[1, 2]
+    j = join_trajectories([np.zeros((2, 3, 3)), np.ones((1, 3, 3))])
+    assert j.shape == (3, 3, 3)
+    pairs, dmin = atoms_to_residue_contacts(
+        [1, 1, 2], [5, 5], [0, 1, 2], [0, 1, 1], [2.0, 1.0, 3.0]
+    )
+    assert (pairs == [[1, 5], [2, 5]]).all()
+    np.testing.assert_allclose(dmin, [1.0, 3.0])
