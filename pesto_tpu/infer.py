@@ -37,6 +37,25 @@ class Predictor:
     def _apply(self, params, X, ids, q, M, am):
         return self.model.apply({"params": params}, X, ids, q, M, am)
 
+    def warmup(self, buckets=None, batch_sizes=(1,)) -> None:
+        """Precompile the forward for the given (na, nr) buckets (all
+        default buckets if None) so serving never pays a first-compile
+        stall. Combine with utils.enable_compilation_cache() to persist
+        across processes."""
+        from .batching import ATOM_BUCKETS, RES_BUCKETS
+        from .synthetic import random_padded_structure
+
+        if buckets is None:
+            buckets = list(zip(ATOM_BUCKETS, RES_BUCKETS))
+        for na, nr in buckets:
+            ps = random_padded_structure(
+                n_atoms=min(na - 1, 64), n_res=min(nr, 8),
+                n_features=self.cfg.em_n0, na=na, nr=nr,
+            )
+            for b in batch_sizes:
+                target = stack_batch([ps] * b) if b > 1 else ps
+                jax.block_until_ready(self.logits(target))
+
     def logits(self, ps: PaddedStructure) -> jax.Array:
         """Per-residue logits [NR, C] (or [B, NR, C] for batches)."""
         if ps.X.ndim == 3:
