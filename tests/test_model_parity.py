@@ -190,3 +190,31 @@ def test_torch_export_roundtrip(torch_reference, predictor):
         assert torch.allclose(sd[k].float(), ref_sd[k].float(), atol=1e-7), k
     # and it loads
     ref_model.load_state_dict(sd)
+
+
+def test_batched_equals_single(predictor, example_pdb):
+    """The vmapped batch path must reproduce per-structure predictions."""
+    from pesto_tpu.structure import atom_select
+
+    base = clean_structure(read_pdb(example_pdb))
+    s1 = _crop(base, max_res=40)
+    s2 = atom_select(base, (base["resid"] > 10) & (base["resid"] <= 50))
+    singles = [predictor.predict_structure(s) for s in (s1, s2)]
+    batched = predictor.predict_batch([s1, s2])
+    for a, b in zip(singles, batched):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_forward_parity_second_structure(torch_reference, predictor, example_complex_pdb):
+    """Parity on a DNA/protein complex with hetero chains (different
+    category than the kinase fixture)."""
+    from pesto_tpu.structure import concatenate_chains, preprocess_structure
+
+    torch, ref_model = torch_reference
+    subunits = preprocess_structure(read_pdb(example_complex_pdb))
+    structure = _crop(concatenate_chains(subunits), max_res=50)
+    z_ref, ids_topk_raw, X, qe, M = _reference_forward(torch, ref_model, structure)
+    ps = pad_structure_arrays(X, qe, M, ids_topk_raw=ids_topk_raw)
+    z = np.asarray(predictor.logits(ps))[: M.shape[1]]
+    perr = np.abs(jax.nn.sigmoid(z) - 1 / (1 + np.exp(-z_ref))).max()
+    assert perr < 1e-4, f"probability err {perr}"
