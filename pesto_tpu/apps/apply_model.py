@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None, help="reference torch .pt checkpoint")
     parser.add_argument("--orbax", default=None, help="orbax checkpoint dir")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--fast-knn", action="store_true",
+                        help="approx+rerank kNN (~2.6x; far-tail neighbor swaps only)")
     parser.add_argument("--classes", default=None, help="comma list of class indices to write")
     args = parser.parse_args(argv)
 
@@ -56,8 +58,10 @@ def main(argv=None):
     if args.bf16:
         cfg = cfg.replace(dtype="bfloat16", precision="default")
 
+    knn_method = "fast" if args.fast_knn else "exact"
     if args.ckpt:
         pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+        pred.knn_method = knn_method
     elif args.orbax:
         from ..train.checkpoint import restore_checkpoint
         from ..train.state import create_train_state
@@ -66,7 +70,7 @@ def main(argv=None):
         restored = restore_checkpoint(args.orbax, state)
         if restored is None:
             parser.error(f"no checkpoint found in {args.orbax}")
-        pred = Predictor(cfg, restored.params)
+        pred = Predictor(cfg, restored.params, knn_method=knn_method)
     else:
         default_ckpt = "/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt"
         if os.path.isfile(default_ckpt) and args.model == "i_v4_0":

@@ -44,6 +44,8 @@ def main(argv=None):
     parser.add_argument("--model", default="i_v4_0")
     parser.add_argument("--ckpt", default="/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt")
     parser.add_argument("--class-index", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--fast-knn", action="store_true")
     parser.add_argument("--out", default="ppi_benchmark.csv")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--methods", default="M", help="comma list of extra method tags to score")
@@ -56,7 +58,12 @@ def main(argv=None):
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
-    pred = Predictor.from_reference_checkpoint(args.ckpt, get_config(args.model, remat=False))
+    cfg = get_config(args.model, remat=False)
+    if args.bf16:
+        cfg = cfg.replace(dtype="bfloat16", precision="default")
+    pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+    if args.fast_knn:
+        pred.knn_method = "fast"
 
     bases = sorted(
         p[:-4]

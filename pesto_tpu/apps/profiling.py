@@ -24,6 +24,7 @@ def main(argv=None):
     parser.add_argument("--min-atoms", type=int, default=64)
     parser.add_argument("--max-atoms", type=int, default=8192)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--fast-knn", action="store_true")
     args = parser.parse_args(argv)
 
     import jax
@@ -58,7 +59,10 @@ def main(argv=None):
             t0 = time.perf_counter()
             subunits = preprocess_structure(structure)
             merged = concatenate_chains(subunits)
-            ps = encode_and_pad(merged, feature_flags=cfg.feature_flags)
+            ps = encode_and_pad(
+                merged, feature_flags=cfg.feature_flags,
+                knn_method="fast" if args.fast_knn else "exact",
+            )
             jax.block_until_ready(ps.ids_topk)
             t_process = time.perf_counter() - t0
 
