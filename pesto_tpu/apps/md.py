@@ -102,8 +102,17 @@ def main(argv=None):
     pred = Predictor.from_reference_checkpoint(args.ckpt, get_config(args.model, remat=False))
 
     structure, frames = read_traj_pdb(args.traj)
+    # apply the cleaning mask to the FRAMES too, so coordinates stay
+    # aligned with the cleaned topology (waters/hydrogens dropped)
+    keep = (
+        (structure["resname"] != "HOH")
+        & (structure["resname"] != "DOD")
+        & (structure["element"] != "H")
+        & (structure["element"] != "D")
+    )
+    frames = frames[:: args.every][:, keep]
     structure = clean_structure(structure)
-    frames = frames[:: args.every]
+    assert structure["xyz"].shape[0] == frames.shape[1]
 
     ref_subunits = preprocess_structure(read_pdb(args.ref))
     if args.receptor_chains:

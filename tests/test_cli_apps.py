@@ -93,6 +93,15 @@ def test_md_cli(tmp_path, tiny_predictor):
     subunits = preprocess_structure(read_pdb(ref_pdb))
     a_chains = {c: subunits[c] for c in subunits if c.startswith("A")}
     merged = concatenate_chains(a_chains)
+    # add hydrogen atoms: the MD pipeline must drop them from BOTH the
+    # topology and the frame coordinates (regression: mask alignment)
+    nH = 7
+    for key, extra in [("name", ["H"] * nH), ("element", ["H"] * nH),
+                       ("resname", [merged["resname"][0]] * nH),
+                       ("het_flag", ["A"] * nH)]:
+        merged[key] = np.concatenate([merged[key], np.array(extra)])
+    merged["resid"] = np.concatenate([merged["resid"], np.full(nH, merged["resid"][-1])])
+    merged["xyz"] = np.concatenate([merged["xyz"], np.random.RandomState(5).rand(nH, 3).astype(np.float32)])
     rng = np.random.RandomState(0)
     frames = np.stack([merged["xyz"] + 0.02 * t * rng.rand(*merged["xyz"].shape).astype(np.float32)
                        for t in range(3)])
