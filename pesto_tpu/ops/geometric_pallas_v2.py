@@ -12,11 +12,14 @@ vector-value blocks (V1*r, tiled center p, p_nn — reference
 src/model_operations.py:131-136) contribute three logit sub-blocks per
 chunk to one running softmax.
 
-STATUS: numerically verified in interpret mode against v1/XLA (<2e-5);
-Mosaic compilation currently fails with "Unsupported output implicit
-dimension" on the running-stat updates (sub-sublane scratch slice writes
-and/or [1,A]<->[A,1] relayouts). Round-2 item: per-head full-ref scratch
-broadcasts to avoid offset writes; see docs/ROADMAP.md.
+STATUS: numerically verified in interpret mode against v1/XLA (<2e-5).
+Mosaic compilation fails with "Unsupported output implicit dimension";
+isolated by elimination to the [1,A]<->[A,1] relayout transposes that
+bridge the lane-oriented running stats and the sublane-oriented
+accumulators (per-head full-ref scratch writes and per-k logit sums are
+already in place). Round-2 item: restructure so both orientations are
+never needed (e.g. keep accumulators lane-major and transpose once at
+finalize), or await Mosaic support; see docs/ROADMAP.md.
 """
 
 import functools
@@ -34,8 +37,15 @@ def _elu(x):
 def _kernel(qp_nn_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref,
             k0c_ref, b0_ref, k0e_ref, k1_ref, b1_ref, k2_ref, b2_ref, nq_ref,
             qp_out_ref, pp_out_ref,
-            mq_ref, sq_ref, zq_ref, mp_ref, sp_ref, zp_ref,
-            *, S, Nh, Nk, nn, chunk):
+            *scratch, S, Nh, Nk, nn, chunk):
+    # scratch layout: per-head [8, tile] stat refs (full-ref writes only;
+    # Mosaic rejects sub-sublane offset stores), then zq/zp accumulators
+    mq_r = scratch[0:Nh]
+    sq_r = scratch[Nh : 2 * Nh]
+    mp_r = scratch[2 * Nh : 3 * Nh]
+    sp_r = scratch[3 * Nh : 4 * Nh]
+    zq_ref = scratch[4 * Nh]
+    zp_ref = scratch[4 * Nh + 1]
     A = q_ref.shape[0]
     f32 = jnp.float32
     prec = jax.lax.Precision.HIGHEST
@@ -79,11 +89,11 @@ def _kernel(qp_nn_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref,
 
     @pl.when(j == 0)
     def _init():
-        mq_ref[:] = jnp.full_like(mq_ref, NEG)
-        sq_ref[:] = jnp.zeros_like(sq_ref)
+        for r in list(mq_r) + list(mp_r):
+            r[:] = jnp.full_like(r, NEG)
+        for r in list(sq_r) + list(sp_r):
+            r[:] = jnp.zeros_like(r)
         zq_ref[:] = jnp.zeros_like(zq_ref)
-        mp_ref[:] = jnp.full_like(mp_ref, NEG)
-        sp_ref[:] = jnp.zeros_like(sp_ref)
         zp_ref[:] = jnp.zeros_like(zp_ref)
 
     # stats are lane-oriented [8, tile] (atoms on lanes); accumulators are
@@ -93,13 +103,14 @@ def _kernel(qp_nn_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref,
         q1 = nq[:, Nh * Nk + hh * Nk : Nh * Nk + (hh + 1) * Nk]
 
         # ---- scalar attention (running softmax over neighbors) ----
-        lq = jnp.sum(q0[None, :, :] * Kq, axis=2) * inv_sdk  # [chunk, A]
-        m_old = mq_ref[hh : hh + 1, :]                     # [1, A]
+        lq = sum(q0[:, k][None, :] * Kq[:, :, k] for k in range(Nk)) * inv_sdk  # [chunk, A]
+        m_old = mq_r[hh][0:1, :]                           # [1, A]
         m_new = jnp.maximum(m_old, jnp.max(lq, axis=0, keepdims=True))
         scale = jnp.exp(m_old - m_new)                     # [1, A]
         w = jnp.exp(lq - m_new)                            # [chunk, A]
-        mq_ref[hh : hh + 1, :] = m_new
-        sq_ref[hh : hh + 1, :] = sq_ref[hh : hh + 1, :] * scale + jnp.sum(w, axis=0, keepdims=True)
+        mq_r[hh][:] = jnp.broadcast_to(m_new, mq_r[hh].shape)
+        s_new = sq_r[hh][0:1, :] * scale + jnp.sum(w, axis=0, keepdims=True)
+        sq_r[hh][:] = jnp.broadcast_to(s_new, sq_r[hh].shape)
         scale_col = scale.T                                # [A, 1]
         zq_ref[:, hh * S : (hh + 1) * S] = (
             zq_ref[:, hh * S : (hh + 1) * S] * scale_col
@@ -108,10 +119,10 @@ def _kernel(qp_nn_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref,
 
         # ---- vector attention (one softmax over the 3 value blocks) ----
         lps = [
-            jnp.sum(q1[None, :, :] * Kp3[:, :, c * Nk : (c + 1) * Nk], axis=2) * inv_sdk
+            sum(q1[:, k][None, :] * Kp3[:, :, c * Nk + k] for k in range(Nk)) * inv_sdk
             for c in range(3)
         ]
-        m_old = mp_ref[hh : hh + 1, :]
+        m_old = mp_r[hh][0:1, :]
         chunk_max = jnp.maximum(
             jnp.max(lps[0], axis=0, keepdims=True),
             jnp.maximum(jnp.max(lps[1], axis=0, keepdims=True),
@@ -122,12 +133,13 @@ def _kernel(qp_nn_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref,
         w1 = jnp.exp(lps[0] - m_new)
         w2 = jnp.exp(lps[1] - m_new)
         w3 = jnp.exp(lps[2] - m_new)
-        mp_ref[hh : hh + 1, :] = m_new
-        sp_ref[hh : hh + 1, :] = sp_ref[hh : hh + 1, :] * scale + (
+        mp_r[hh][:] = jnp.broadcast_to(m_new, mp_r[hh].shape)
+        sp_new = sp_r[hh][0:1, :] * scale + (
             jnp.sum(w1, axis=0, keepdims=True)
             + jnp.sum(w2, axis=0, keepdims=True)
             + jnp.sum(w3, axis=0, keepdims=True)
         )
+        sp_r[hh][:] = jnp.broadcast_to(sp_new, sp_r[hh].shape)
         scale_col = scale.T                                # [A, 1]
         sw2 = jnp.sum(w2, axis=0, keepdims=True).T         # [A, 1]
         for x in range(3):
@@ -142,9 +154,9 @@ def _kernel(qp_nn_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref,
     @pl.when(j == nj - 1)
     def _finalize():
         for hh in range(Nh):
-            qden = (1.0 / sq_ref[hh : hh + 1, :]).T        # [A, 1]
+            qden = (1.0 / sq_r[hh][0:1, :]).T              # [A, 1]
             qp_out_ref[:, hh * S : (hh + 1) * S] = zq_ref[:, hh * S : (hh + 1) * S] * qden
-            pden = (1.0 / sp_ref[hh : hh + 1, :]).T
+            pden = (1.0 / sp_r[hh][0:1, :]).T
             for x in range(3):
                 off = x * Nh * S + hh * S
                 pp_out_ref[:, off : off + S] = zp_ref[:, off : off + S] * pden
@@ -201,13 +213,12 @@ def fused_edge_attention_v2(
             pl.BlockSpec((tile, 3 * Nh * S), atom_only, memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((8, tile), jnp.float32),           # mq (lane-atoms)
-            pltpu.VMEM((8, tile), jnp.float32),           # sq
-            pltpu.VMEM((tile, Nh * S), jnp.float32),      # zq
-            pltpu.VMEM((8, tile), jnp.float32),           # mp
-            pltpu.VMEM((8, tile), jnp.float32),           # sp
-            pltpu.VMEM((tile, 3 * Nh * S), jnp.float32),  # zp
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((8, tile), jnp.float32) for _ in range(4 * Nh)]
+            + [
+                pltpu.VMEM((tile, Nh * S), jnp.float32),      # zq
+                pltpu.VMEM((tile, 3 * Nh * S), jnp.float32),  # zp
+            ]
+        ),
         interpret=interpret,
     )(qp_t, d_t, rx, ry, rz, q, p_flat, k0c, b0, k0e, k1, b1, k2, b2, nq)
