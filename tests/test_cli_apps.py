@@ -116,3 +116,29 @@ def test_md_cli(tmp_path, tiny_predictor):
                  "--ckpt", "x", "--out", out])
     rows = list(csv.DictReader(open(out)))
     assert len(rows) == 3
+
+
+def test_apply_model_orbax_checkpoint(tmp_path, monkeypatch):
+    """Load weights from an orbax checkpoint dir in the CLI (--orbax)."""
+    from pesto_tpu.apps import apply_model
+    from pesto_tpu.models import get_config
+    from pesto_tpu.train import create_train_state
+    from pesto_tpu.train.checkpoint import save_checkpoint
+
+    cfg = get_config("i_v4_0", remat=False)
+    tiny = cfg.replace(layers=cfg.layers[:2])
+    state, _ = create_train_state(tiny)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, step=7)
+
+    # the CLI builds the model from --model; force the tiny config
+    import pesto_tpu.models.config as mcfg
+
+    presets = dict(mcfg.PRESETS)
+    presets["i_v4_0"] = tiny
+    monkeypatch.setattr(mcfg, "PRESETS", presets)
+
+    pdb = _two_chain_pdb(tmp_path)
+    out = str(tmp_path / "out_orbax")
+    apply_model.main([pdb, "--out", out, "--model", "i_v4_0", "--orbax", ckpt_dir])
+    assert len(os.listdir(out)) == 5
