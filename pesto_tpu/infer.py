@@ -37,6 +37,44 @@ class Predictor:
     def _apply(self, params, X, ids, q, M, am):
         return self.model.apply({"params": params}, X, ids, q, M, am)
 
+    def export_compiled(self, path: str, buckets=((512, 64),)) -> None:
+        """Serialize the forward as portable StableHLO artifacts
+        (jax.export), one per bucket, for deployment without tracing the
+        model. Load with Predictor.load_exported."""
+        import pickle
+
+        from jax import export as jexport
+
+        from .synthetic import random_padded_structure
+
+        blobs = {}
+        for na, nr in buckets:
+            ps = random_padded_structure(
+                n_atoms=min(na - 1, 64), n_res=min(nr, 8),
+                n_features=self.cfg.em_n0, na=na, nr=nr,
+            )
+            exp = jexport.export(jax.jit(self._apply))(
+                self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask
+            )
+            blobs[(na, nr)] = exp.serialize()
+        with open(path, "wb") as f:
+            pickle.dump({"buckets": blobs}, f)
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load exported artifacts; returns {(na, nr): callable(params,
+        X, ids, q, M, am) -> logits}."""
+        import pickle
+
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        return {
+            bucket: jexport.deserialize(blob).call
+            for bucket, blob in data["buckets"].items()
+        }
+
     def warmup(self, buckets=None, batch_sizes=(1,)) -> None:
         """Precompile the forward for the given (na, nr) buckets (all
         default buckets if None) so serving never pays a first-compile

@@ -142,3 +142,24 @@ def test_apply_model_orbax_checkpoint(tmp_path, monkeypatch):
     out = str(tmp_path / "out_orbax")
     apply_model.main([pdb, "--out", out, "--model", "i_v4_0", "--orbax", ckpt_dir])
     assert len(os.listdir(out)) == 5
+
+
+def test_export_compiled_roundtrip(tmp_path):
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_padded_structure
+
+    cfg = get_config("i_v4_0", remat=False)
+    cfg = cfg.replace(layers=cfg.layers[:2])
+    pred = Predictor(cfg, init_params(cfg))
+
+    path = str(tmp_path / "model.stablehlo.pkl")
+    pred.export_compiled(path, buckets=((256, 32),))
+    fns = Predictor.load_exported(path)
+    assert (256, 32) in fns
+
+    ps = random_padded_structure(n_atoms=100, n_res=20, na=256, nr=32, seed=3)
+    z_exported = fns[(256, 32)](pred.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
+    z_live = pred.logits(ps)
+    np.testing.assert_allclose(np.asarray(z_exported), np.asarray(z_live), atol=1e-6)
