@@ -25,9 +25,12 @@ import numpy as np
 from .encoding import encode_features, encode_structure
 from .topology import knn_topology
 
-# default bucket ladders (atoms include the +1 sink row)
-ATOM_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 8448)
-RES_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+# default bucket ladders (atoms include the +1 sink row). The reference
+# hard-caps structures at 8192 atoms (model/config.py:12); the ladder
+# extends beyond it — large buckets validated on-chip, and the atom axis
+# can also shard across devices (parallel/sp.py).
+ATOM_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 8448, 16384, 32768)
+RES_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 NUM_NN = 64
 
 
