@@ -5,7 +5,8 @@ from pesto_tpu.batching import ATOM_BUCKETS, RES_BUCKETS, pad_structure_arrays, 
 
 
 def test_bucket_ladder_extends_beyond_reference_cap():
-    assert pick_bucket(8193, ATOM_BUCKETS) == 16384
+    assert pick_bucket(8193, ATOM_BUCKETS) == 8448
+    assert pick_bucket(9000, ATOM_BUCKETS) == 16384
     assert pick_bucket(20000, ATOM_BUCKETS) == 32768
     with pytest.raises(ValueError):
         pick_bucket(40000, ATOM_BUCKETS)
