@@ -67,9 +67,7 @@ def main():
             model = pred.model
 
             def step(params, X, ids, q, M, am):
-                z = jax.vmap(
-                    lambda *a: model.apply({"params": params}, *a)
-                )(X, ids, q, M, am)
+                z = model.apply({"params": params}, X, ids, q, M, am)
                 return X + jnp.sum(z) * 0.0, z
 
             f = jax.jit(step)

@@ -28,7 +28,9 @@ class Predictor:
         self.params = params
         self.knn_method = knn_method  # "fast": ~2.6x kNN, far-tail swaps only
         self._single = jax.jit(self._apply)
-        self._batched = jax.jit(jax.vmap(self._apply, in_axes=(None, 0, 0, 0, 0, 0)))
+        # batches flatten into the atom axis inside the model (faster than
+        # vmap on TPU); same jitted entry point handles both ranks
+        self._batched = self._single
 
     @classmethod
     def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":

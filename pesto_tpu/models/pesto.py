@@ -388,18 +388,28 @@ class StatePool(nn.Module):
 
     @nn.compact
     def __call__(self, q, p, M):
+        """q [NA,S] / p [NA,3,S] / M [NA,NR], or batched with a leading B."""
         prec = self.precision
         # softmax filter: ~ +1e-6 for members, ~ -1e6 for non-members
         F = (1.0 - M + 1e-6) / (M - 1e-6)
-        z = jnp.concatenate([q, safe_norm(p, axis=1)], axis=1)
+        z = jnp.concatenate([q, safe_norm(p, axis=-2)], axis=-1)
         s = MLP3((self.N0, self.N0, 2 * self.Nh), self.dtype, prec, name="sam")(z)
-        Ms = jax.nn.softmax(s[:, None, :] + F[:, :, None], axis=0)
-        Ms = Ms.reshape(M.shape[0], M.shape[1], self.Nh, 2)
-        # flattening is (state, head)-major to match the torch view()
-        qh = jnp.einsum("as,arh->rsh", q, Ms[..., 0], precision=prec)
-        qh = qh.reshape(M.shape[1], -1)
-        ph = jnp.einsum("axs,arh->rxsh", p, Ms[..., 1], precision=prec)
-        ph = ph.reshape(M.shape[1], 3, -1)
+        if q.ndim == 3:  # batched
+            B, NA, NR = M.shape[0], M.shape[1], M.shape[2]
+            Ms = jax.nn.softmax(s[:, :, None, :] + F[..., None], axis=1)
+            Ms = Ms.reshape(B, NA, NR, self.Nh, 2)
+            qh = jnp.einsum("bas,barh->brsh", q, Ms[..., 0], precision=prec)
+            qh = qh.reshape(B, NR, -1)
+            ph = jnp.einsum("baxs,barh->brxsh", p, Ms[..., 1], precision=prec)
+            ph = ph.reshape(B, NR, 3, -1)
+        else:
+            Ms = jax.nn.softmax(s[:, None, :] + F[:, :, None], axis=0)
+            Ms = Ms.reshape(M.shape[0], M.shape[1], self.Nh, 2)
+            # flattening is (state, head)-major to match the torch view()
+            qh = jnp.einsum("as,arh->rsh", q, Ms[..., 0], precision=prec)
+            qh = qh.reshape(M.shape[1], -1)
+            ph = jnp.einsum("axs,arh->rxsh", p, Ms[..., 1], precision=prec)
+            ph = ph.reshape(M.shape[1], 3, -1)
         qr = MLP3((self.N0, self.N0, self.N1), self.dtype, prec, name="zdm")(qh)
         pr = nn.Dense(self.N1, use_bias=False, dtype=self.dtype, precision=prec,
                       name="zdm_vec")(ph)
@@ -408,8 +418,14 @@ class StatePool(nn.Module):
 
 class PestoModel(nn.Module):
     """Full model: embed -> geometric transformer stack -> residue pool ->
-    decoder (reference Model, model/model.py:6-52). Single padded
-    structure in, per-residue logits out; vmap for batches."""
+    decoder (reference Model, model/model.py:6-52).
+
+    Accepts a single padded structure ([NA, ...]) or a batch ([B, NA, ...]).
+    Batches are FLATTENED into the atom axis for the layer stack rather
+    than vmapped — neighbor ids never cross structures, so flattening is
+    exact, and XLA lowers the flat gathers/matmuls ~1.6x faster than their
+    batched counterparts. The residue pool stays per-structure (batched
+    einsums)."""
 
     cfg: PestoConfig
 
@@ -419,16 +435,32 @@ class PestoModel(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         prec = _PRECISIONS[cfg.precision]
 
-        n_real = jnp.sum(atom_mask).astype(jnp.int32)
+        batched = X.ndim == 3
+        if batched:
+            B, NA = X.shape[:2]
+            n_real = jnp.sum(atom_mask, axis=1).astype(jnp.int32)  # [B]
+            D_nn, R_nn = jax.vmap(unpack_state_features)(X, ids_topk, atom_mask, n_real)
+            # flatten structures along the atom axis; each structure's ids
+            # (incl. its sink 0) shift into its own row range
+            offsets = (jnp.arange(B, dtype=ids_topk.dtype) * NA)[:, None, None]
+            ids_flat = (ids_topk + offsets).reshape(B * NA, -1)
+            X = X.reshape(B * NA, 3)
+            q0 = q0.reshape(B * NA, -1)
+            atom_mask_flat = atom_mask.reshape(B * NA)
+            D_nn = D_nn.reshape(B * NA, -1)
+            R_nn = R_nn.reshape(B * NA, -1, 3)
+            ids_topk = ids_flat
+        else:
+            n_real = jnp.sum(atom_mask).astype(jnp.int32)
+            D_nn, R_nn = unpack_state_features(X, ids_topk, atom_mask, n_real)
+            atom_mask_flat = atom_mask
 
         # feature embedding; sink/padding rows are zero *after* the MLP,
         # matching the reference's zero-row prepend (model/model.py:34-40)
         em_feats = (cfg.em_n1,) if cfg.em_single else (cfg.em_n1, cfg.em_n1, cfg.em_n1)
         q = MLP3(em_feats, dtype, prec, name="em")(q0)
-        q = q * atom_mask[:, None]
+        q = q * atom_mask_flat[:, None]
         p = jnp.zeros((X.shape[0], 3, cfg.em_n1), dtype=q.dtype)
-
-        D_nn, R_nn = unpack_state_features(X, ids_topk, atom_mask, n_real)
 
         if cfg.scan_layers:
             if cfg.remat:
@@ -447,18 +479,21 @@ class PestoModel(nn.Module):
                     split_rngs={"params": True},
                     length=n,
                 )(lc, dtype, prec, cfg.fused_edges, cfg.pallas_edges, name=f"sulg_{g}")
-                (q, p, *_), _ = scan((q, p, ids_topk, D_nn, R_nn, atom_mask), None)
+                (q, p, *_), _ = scan((q, p, ids_topk, D_nn, R_nn, atom_mask_flat), None)
         else:
             layer_cls = nn.remat(StateUpdateLayer) if cfg.remat else StateUpdateLayer
             for i, lc in enumerate(cfg.layers):
                 q, p = layer_cls(lc, dtype, prec, cfg.fused_edges, cfg.pallas_edges, name=f"sul_{i}")(
-                    q, p, ids_topk, D_nn, R_nn, atom_mask
+                    q, p, ids_topk, D_nn, R_nn, atom_mask_flat
                 )
 
+        if batched:
+            q = q.reshape(B, NA, -1)
+            p = p.reshape(B, NA, 3, -1)
         qr, pr = StatePool(cfg.spl_n0, cfg.spl_n1, cfg.spl_nh, dtype, prec,
                            name="spl")(q, p, M)
 
-        zr = jnp.concatenate([qr, safe_norm(pr, axis=1)], axis=1)
+        zr = jnp.concatenate([qr, safe_norm(pr, axis=-2)], axis=-1)
         dm_feats = (cfg.dm_n2,) if cfg.dm_single else (cfg.dm_n1, cfg.dm_n1, cfg.dm_n2)
         z = MLP3(dm_feats, dtype, prec, name="dm")(zr)
         return z

@@ -28,9 +28,9 @@ def make_sp_forward(cfg: PestoConfig, mesh: Mesh, batch_axis: bool = False):
     rep = NamedSharding(mesh, P())
     if batch_axis:
         atom = NamedSharding(mesh, P("data", "model"))
-        fwd = lambda pp, X, ids, q, M, am: jax.vmap(
-            lambda *a: model.apply({"params": pp}, *a)
-        )(X, ids, q, M, am)
+        fwd = lambda pp, X, ids, q, M, am: model.apply(
+            {"params": pp}, X, ids, q, M, am
+        )
         out = NamedSharding(mesh, P("data"))
     else:
         atom = NamedSharding(mesh, P("model"))

@@ -14,8 +14,11 @@ from .state import TrainState
 
 
 def _batched_forward(model, params, batch: PaddedStructure):
-    fwd = lambda X, ids, q, M, am: model.apply({"params": params}, X, ids, q, M, am)
-    return jax.vmap(fwd)(batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask)
+    # the model flattens the batch into the atom axis internally (faster
+    # than vmap on TPU for the gather-heavy layer stack)
+    return model.apply(
+        {"params": params}, batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask
+    )
 
 
 def build_train_step_fn(cfg: PestoConfig, tx, pos_weight_factor: float = 0.5):
