@@ -126,9 +126,10 @@ class Predictor:
         structure = concatenate_chains(subunits)
         return structure, self.predict_structure(structure)
 
-    def predict_batch(self, structures: list) -> list:
+    def predict_batch(self, structures: list, atoms_per_call: int = 32768) -> list:
         """Predict a list of structure records, grouping into per-bucket
-        batches for throughput. Returns a list of [n_res_i, C] arrays."""
+        batches for throughput (batch size capped by an atom budget per
+        device call). Returns a list of [n_res_i, C] arrays."""
         encoded = []
         for i, s in enumerate(structures):
             ps = encode_and_pad(
@@ -139,10 +140,15 @@ class Predictor:
         for i, ps in encoded:
             buckets.setdefault((ps.X.shape[0], ps.M.shape[1]), []).append((i, ps))
         out = [None] * len(structures)
-        for _, group in buckets.items():
-            batch = stack_batch([ps for _, ps in group])
-            probs = self.probabilities(batch)
-            for (i, ps), pb in zip(group, probs):
-                nr = int(np.sum(np.asarray(ps.res_mask)))
-                out[i] = pb[:nr]
+        for (na, _), group in buckets.items():
+            bmax = max(1, atoms_per_call // na)
+            for k in range(0, len(group), bmax):
+                chunk = group[k : k + bmax]
+                batch = stack_batch([ps for _, ps in chunk]) if len(chunk) > 1 else chunk[0][1]
+                probs = self.probabilities(batch)
+                if len(chunk) == 1:
+                    probs = probs[None]
+                for (i, ps), pb in zip(chunk, probs):
+                    nr = int(np.sum(np.asarray(ps.res_mask)))
+                    out[i] = pb[:nr]
         return out
