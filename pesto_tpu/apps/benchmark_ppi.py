@@ -31,10 +31,17 @@ def _read_bfactors_per_residue(path):
     bf = np.array(
         [float(line[60:66]) for line in open(path) if line.startswith(("ATOM", "HETATM"))]
     )
-    # align: cleaning only drops waters/H which golden files don't contain
+    # cleaning drops waters/H/altloc-duplicates; if the file contains any,
+    # positional alignment of raw b-factors to cleaned atoms breaks — fail
+    # loudly rather than silently shifting every downstream residue score
     resids = s["resid"]
+    if len(bf) != len(resids):
+        raise ValueError(
+            f"{path}: raw atom count {len(bf)} != cleaned atom count "
+            f"{len(resids)} (altloc/water/H present?); cannot align b-factors"
+        )
     ures = np.unique(resids)
-    per_res = np.array([bf[: len(resids)][resids == r].max() for r in ures])
+    per_res = np.array([bf[resids == r].max() for r in ures])
     return s, per_res
 
 

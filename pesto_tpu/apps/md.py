@@ -124,11 +124,18 @@ def main(argv=None):
 
     probs = predict_trajectory(pred, structure, frames, chunk=args.chunk)
 
+    if probs.shape[1] != len(y):
+        raise SystemExit(
+            f"trajectory has {probs.shape[1]} residues but the reference "
+            f"receptor has {len(y)}; positional scoring would be misaligned."
+            " Pass --receptor-chains matching the trajectory, or renumber"
+            " the inputs (see pesto_tpu.traj.match for sequence alignment)."
+        )
     rows = []
     for t in range(probs.shape[0]):
         p = probs[t, :, args.class_index]
-        n = min(len(p), len(y))
-        auc = roc_auc_score(y[:n], p[:n]) if 0 < y[:n].sum() < n else float("nan")
+        n = len(y)
+        auc = roc_auc_score(y, p) if 0 < y.sum() < n else float("nan")
         rows.append((t * args.every, auc))
         print(f"frame {t * args.every}: AUC={auc:.4f}")
 

@@ -42,6 +42,8 @@ class BucketedLoader:
         shard_index: int = 0,
         prefetch: int = 2,
         batch_multiple: int = 1,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
         self.dataset = dataset
         self.sizes = np.asarray(sizes)
@@ -55,6 +57,26 @@ class BucketedLoader:
         self.shard_index = shard_index
         self.prefetch = prefetch
         self.batch_multiple = batch_multiple
+        # multi-host SPMD: every process computes the IDENTICAL global batch
+        # plan (same seed/epoch), but materializes only its own contiguous
+        # row slice of each batch; jax.make_array_from_process_local_data
+        # then assembles the global array (see parallel.dp.shard_batch).
+        # This keeps batch counts, bucket sequences and shapes in lockstep
+        # across processes, which SPMD collectives require. Distinct from
+        # num_shards/shard_index, which statically split the DATASET (used
+        # by per-process dataset builds, not SPMD training).
+        if process_count > 1:
+            if batch_multiple % process_count:
+                raise ValueError(
+                    f"batch_multiple ({batch_multiple}) must be a multiple of "
+                    f"process_count ({process_count}) so every batch splits "
+                    "evenly across processes"
+                )
+            if num_shards != 1:
+                raise ValueError("num_shards dataset splitting and process_count "
+                                 "SPMD row-slicing are mutually exclusive")
+        self.process_count = process_count
+        self.process_index = process_index
         self.epoch = 0
 
         # precompute bucket assignment per item
@@ -92,35 +114,56 @@ class BucketedLoader:
             rng.shuffle(batches)
         return batches
 
+    def _padded_count(self, n_items: int) -> int:
+        m = self.batch_multiple
+        if m > 1 and n_items % m:
+            return n_items + (m - n_items % m)
+        return n_items
+
     def _make_batch(self, bucket, items) -> PaddedStructure:
         na, nr = bucket
-        padded = []
-        for i in items:
-            X, ids_topk, q, M, y = self.dataset[i]
-            padded.append(
-                pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
-            )
         # pad to the mesh multiple with fully-masked dummy structures so the
         # batch axis always shards evenly; dummies carry zero res_mask and
         # contribute nothing to loss or metrics
-        m = self.batch_multiple
-        if m > 1 and len(padded) % m:
-            import jax.numpy as jnp
-            import dataclasses as _dc
+        total = self._padded_count(len(items))
+        slots = list(items) + [None] * (total - len(items))
+        if self.process_count > 1:
+            # identical global plan everywhere; build only our row slice
+            per = total // self.process_count
+            slots = slots[self.process_index * per : (self.process_index + 1) * per]
 
-            tmpl = padded[0]
-            dummy = _dc.replace(
-                tmpl,
-                X=jnp.zeros_like(tmpl.X),
-                ids_topk=jnp.zeros_like(tmpl.ids_topk),
-                q=jnp.zeros_like(tmpl.q),
-                M=jnp.zeros_like(tmpl.M),
-                atom_mask=jnp.zeros_like(tmpl.atom_mask),
-                res_mask=jnp.zeros_like(tmpl.res_mask),
-                y=jnp.zeros_like(tmpl.y) if tmpl.y is not None else None,
-            )
-            padded.extend([dummy] * (m - len(padded) % m))
+        def load(i):
+            X, ids_topk, q, M, y = self.dataset[i]
+            return pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
+
+        padded, dummy = [], None
+        for i in slots:
+            if i is None:
+                if dummy is None:
+                    # zero a real item of this (same-bucket, same-shape)
+                    # batch so dtypes and the label width match exactly
+                    dummy = self._zeroed(padded[0] if padded else load(items[0]))
+                padded.append(dummy)
+            else:
+                padded.append(load(i))
         return stack_batch(padded)
+
+    @staticmethod
+    def _zeroed(tmpl):
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        return _dc.replace(
+            tmpl,
+            X=jnp.zeros_like(tmpl.X),
+            ids_topk=jnp.zeros_like(tmpl.ids_topk),
+            q=jnp.zeros_like(tmpl.q),
+            M=jnp.zeros_like(tmpl.M),
+            atom_mask=jnp.zeros_like(tmpl.atom_mask),
+            res_mask=jnp.zeros_like(tmpl.res_mask),
+            y=jnp.zeros_like(tmpl.y) if tmpl.y is not None else None,
+        )
 
     def __iter__(self) -> Iterator[PaddedStructure]:
         batches = self._plan()

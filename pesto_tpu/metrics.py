@@ -62,7 +62,9 @@ def bc_scoring(y, p):
     with np.errstate(invalid="ignore"):
         mcc = _safe_div(TP * TN - FP * FN, np.sqrt((TP + FP) * (TP + FN) * (TN + FP) * (TN + FN)))
     auc = roc_auc(y, p, P, N)
-    std = np.std(p, axis=0, ddof=1) if p.shape[0] > 1 else np.zeros(p.shape[1])
+    # single-sample std is NaN (torch unbiased std semantics) so nanmean
+    # aggregation excludes it, exactly like the reference
+    std = np.std(p, axis=0, ddof=1) if p.shape[0] > 1 else np.full(p.shape[1], np.nan)
 
     return np.stack([acc, ppv, npv, tpr, tnr, mcc, auc, std]).astype(np.float32)
 

@@ -19,8 +19,19 @@ def _batch_shardings(batch: PaddedStructure, mesh: Mesh):
 
 
 def shard_batch(batch: PaddedStructure, mesh: Mesh) -> PaddedStructure:
-    """Place a host batch onto the mesh, sharded over the data axis."""
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Multi-host: `batch` holds only this process's row slice of the global
+    batch (BucketedLoader process_count/process_index row slicing under an
+    identical global plan); the global array is assembled from the
+    process-local shards. Single-host: a plain sharded device_put."""
     shard = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(shard, np.asarray(x)), batch
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), batch)
 
 

@@ -87,13 +87,23 @@ def setup_dataset(tc: TrainConfig, selection_filepath: Optional[str], features_f
     return ds
 
 
+def _local_rows(p):
+    """Host copy of this process's rows of a (possibly multi-host global)
+    batch-sharded array. Single-process: the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(p)
+    shards = sorted(p.addressable_shards, key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def _per_structure_scores(batch, p):
     """bc_scoring per structure in a padded batch (reference scores per
-    ragged batch, model/main.py:61-79)."""
+    ragged batch, model/main.py:61-79). `batch` must be the process-LOCAL
+    host batch; `p` may be a global array (local rows are extracted)."""
     scores = []
     y = np.asarray(batch.y)
     rm = np.asarray(batch.res_mask)
-    p = np.asarray(p)
+    p = _local_rows(p)
     for b in range(y.shape[0]):
         nr = int(rm[b].sum())
         if nr > 0:
@@ -127,6 +137,32 @@ def _log_scores(logger, scores, global_step, pos_ratios, step_type, tb_writer=No
         for key, v in scores.items():
             if not np.isnan(v):
                 tb_writer.add_scalar(f"{step_type}/{key}", v, global_step)
+
+
+def run_eval(state, loader_test, eval_step, put, eval_size: int):
+    """One evaluation pass with a STRUCTURE budget: stops once eval_size
+    real (non-dummy) structures have been scored. The reference's
+    eval_size=1024 counts structures at batch_size=1 (model/main.py:243,
+    config.py:79); counting batches would inflate the budget by up to
+    max_batch and make scores incomparable across batch settings."""
+    test_results = []
+    n_eval_structures = 0
+    for host_tb in loader_test:
+        tb = put(host_tb)
+        o = eval_step(state, tb)
+        sc = _per_structure_scores(host_tb, o["p"])
+        test_results.append((np.asarray(o["losses"]), sc))
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # every process must break on the SAME iteration or the SPMD
+            # collectives desync; local non-dummy counts differ per process,
+            # so budget by the (identical) global padded row count instead
+            n_eval_structures += np.asarray(host_tb.res_mask).shape[0] * n_proc
+        else:
+            n_eval_structures += len(sc)
+        if n_eval_structures >= eval_size:
+            break
+    return _aggregate(test_results), n_eval_structures
 
 
 def train(
@@ -172,18 +208,22 @@ def train(
 
     n_dev = len(jax.devices())
     batch_multiple = n_dev if (tc.use_mesh and n_dev > 1) else 1
-    # multi-host: each process reads its own shard of the dataset
+    # multi-host SPMD: every process follows the IDENTICAL global batch plan
+    # (same seed) and materializes only its own row slice of each batch;
+    # shard_batch assembles the global arrays from the process-local shards
+    # via jax.make_array_from_process_local_data.
     n_proc, proc_id = jax.process_count(), jax.process_index()
     loader_train = BucketedLoader(
         ds_train, ds_train.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
         shuffle=True, seed=tc.seed, batch_multiple=batch_multiple,
-        num_shards=n_proc, shard_index=proc_id,
+        process_count=n_proc, process_index=proc_id,
     )
     loader_test = BucketedLoader(
         ds_test, ds_test.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
         shuffle=False, seed=tc.seed, batch_multiple=batch_multiple,
+        process_count=n_proc, process_index=proc_id,
     )
     if tc.use_mesh and n_dev > 1:
         from ..parallel import make_dp_train_step, make_dp_eval_step, make_mesh, replicate_state, shard_batch
@@ -214,12 +254,12 @@ def train(
     t_last, steps_last = time.time(), int(state.global_step)
 
     for epoch in range(tc.num_epochs):
-        for batch in loader_train:
-            batch = put(batch)
+        for host_batch in loader_train:
+            batch = put(host_batch)
             state, out = train_step(state, batch)
             global_step = int(state.global_step)
             train_results.append(
-                (np.asarray(out["losses"]), _per_structure_scores(batch, out["p"]))
+                (np.asarray(out["losses"]), _per_structure_scores(host_batch, out["p"]))
             )
 
             if (global_step + 1) % tc.log_step == 0:
@@ -233,16 +273,7 @@ def train(
                 save_checkpoint(ckpt_dir, state)
 
             if (global_step + 1) % tc.eval_step == 0:
-                test_results = []
-                for it, tb in enumerate(loader_test):
-                    tb = put(tb)
-                    o = eval_step(state, tb)
-                    test_results.append(
-                        (np.asarray(o["losses"]), _per_structure_scores(tb, o["p"]))
-                    )
-                    if it >= tc.eval_size:
-                        break
-                scores = _aggregate(test_results)
+                scores, _ = run_eval(state, loader_test, eval_step, put, tc.eval_size)
                 _log_scores(logger, scores, global_step, state.pos_ratios, "test", tb_writer)
                 if scores["loss"] <= min_loss:
                     min_loss = scores["loss"]

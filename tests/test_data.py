@@ -188,3 +188,47 @@ def test_select_complete_assemblies(tmp_path):
     keep = select_complete_assemblies(ds, m)
     assert not keep.any()  # single assembly in this dataset
     assert select_complete_assemblies(ds, np.ones(len(ds.keys), dtype=bool)).all()
+
+
+def test_bucketed_loader_process_slicing(tmp_path):
+    """Multi-host SPMD contract: every process computes the identical
+    global plan, and the per-process row slices concatenate to exactly the
+    single-process global batch (dummy padding included)."""
+    pdb = _two_chain_pdb(tmp_path, name="8abc.pdb1")
+    h5_path = str(tmp_path / "mini3.h5")
+    build_dataset_h5([pdb], h5_path, progress=False)
+    ds = H5Dataset(h5_path)
+    ds.set_types(categ_to_resnames["protein"], [categ_to_resnames["protein"]])
+
+    kw = dict(atoms_per_batch=4096, prefetch=0, batch_multiple=4, shuffle=True, seed=3)
+    global_loader = BucketedLoader(ds, ds.sizes_selected(), **kw)
+    local = [
+        BucketedLoader(ds, ds.sizes_selected(), process_count=2, process_index=i, **kw)
+        for i in range(2)
+    ]
+
+    # identical global plan on every "process"
+    assert global_loader._plan() == local[0]._plan() == local[1]._plan()
+
+    g_batches = list(global_loader)
+    l_batches = [list(l) for l in local]
+    assert len(g_batches) == len(l_batches[0]) == len(l_batches[1])
+    for g, l0, l1 in zip(g_batches, *l_batches):
+        assert g.X.shape[0] % 4 == 0
+        assert l0.X.shape[0] == l1.X.shape[0] == g.X.shape[0] // 2
+        for field in ["X", "ids_topk", "q", "M", "atom_mask", "res_mask", "y"]:
+            gv = np.asarray(getattr(g, field))
+            lv = np.concatenate([np.asarray(getattr(l0, field)), np.asarray(getattr(l1, field))])
+            np.testing.assert_array_equal(gv, lv, err_msg=field)
+
+
+def test_bucketed_loader_rejects_bad_process_split(tmp_path):
+    pdb = _two_chain_pdb(tmp_path, name="8abd.pdb1")
+    h5_path = str(tmp_path / "mini4.h5")
+    build_dataset_h5([pdb], h5_path, progress=False)
+    ds = H5Dataset(h5_path)
+    ds.set_types(categ_to_resnames["protein"], [categ_to_resnames["protein"]])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        BucketedLoader(ds, ds.sizes_selected(), batch_multiple=3, process_count=2)

@@ -69,3 +69,30 @@ def test_train_end_to_end_and_resume(mini_h5, tmp_path):
     train(cfg, _tc(mini_h5, num_epochs=3), out)
     log = open(os.path.join(out, "train.log")).read()
     assert "Reloaded checkpoint at step" in log
+
+
+def test_eval_budget_counts_structures():
+    """eval_size is a STRUCTURE budget, not a batch budget: with batches of
+    4 structures and eval_size=6, exactly 2 batches (8 structures) run."""
+    import jax.numpy as jnp
+
+    from pesto_tpu.train.loop import run_eval
+
+    class FakeBatch:
+        def __init__(self, n):
+            self.y = np.zeros((n, 3, 5), dtype=np.float32)
+            self.y[:, 0, 0] = 1.0
+            self.res_mask = np.ones((n, 3), dtype=np.float32)
+
+    calls = []
+
+    def fake_eval_step(state, tb):
+        calls.append(tb)
+        p = jnp.asarray(np.random.RandomState(len(calls)).rand(tb.y.shape[0], 3, 5))
+        return {"losses": np.ones(5, dtype=np.float32), "p": p}
+
+    loader = [FakeBatch(4) for _ in range(10)]
+    scores, n_structs = run_eval(None, loader, fake_eval_step, lambda b: b, eval_size=6)
+    assert n_structs == 8  # 2 batches x 4 structures (first crossing >= 6)
+    assert len(calls) == 2
+    assert np.isfinite(scores["loss"])
