@@ -22,6 +22,7 @@ Semantics matched to the reference:
 """
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,7 @@ def knn_topology(
     Xp: jax.Array,
     atom_mask: jax.Array,
     k: int = 64,
-    row_block: int = 1024,
+    row_block: Optional[int] = None,
     method: str = "exact",
 ):
     """Top-k nearest-neighbor topology on a padded structure.
@@ -65,6 +66,10 @@ def knn_topology(
       R_topk:    [NA, k, 3] float32 unit displacement vectors (0 invalid).
     """
     NA = Xp.shape[0]
+    if row_block is None:
+        # one shot when the [row_block, NA] distance block fits comfortably
+        # (<= ~256 MB); larger structures process in row blocks via lax.map
+        row_block = min(NA, max(512, ((256 << 20) // (4 * NA)) // 512 * 512))
     mask = atom_mask.astype(jnp.float32)
     valid_col = mask[None, :]  # [1, NA]
     prec = jax.lax.Precision.HIGHEST
@@ -97,11 +102,21 @@ def knn_topology(
     Dmax = jnp.sqrt(Dsq_max)
 
     # pass 2: blocked top-k on masked squared distances (order-equivalent
-    # to the reference's D + Dmax*(D<1e-2) masking on true distances)
+    # to the reference's D + Dmax*(D<1e-2) masking on true distances).
+    # The exact path uses a two-level CHUNKED top-k: XLA's TopK on a 2-D
+    # [rows, W] input runs a fast path whose cost scales with elements,
+    # while wide rows pay superlinearly — splitting each row into W-wide
+    # chunks (L1), then reducing the per-chunk winners (L2), is exact
+    # (every global top-k member is a top-k member of its chunk) and
+    # measured 24 ms vs 45 ms for the direct [8192, 8192] top-k on v5e.
+    W = 512
+    n_chunks = NA // W if (NA % W == 0 and NA // W >= 2) else 1
+
     def block_topk(xb, sb, mb):
         Dsq, pair_ok = block_dsq(xb, sb, mb)
         Dsq = Dsq + (Dsq_max + 1.0) * (Dsq < 1e-4).astype(Dsq.dtype)
         Dsq = jnp.where(pair_ok, Dsq, _BIG)
+        rb = Dsq.shape[0]
         if method == "fast" and NA > 2 * k:
             kc = min(k + 64, NA)
             neg_c, cand = jax.lax.approx_max_k(
@@ -109,6 +124,12 @@ def knn_topology(
             )
             neg_top, sel = jax.lax.top_k(neg_c, k)
             ids = jnp.take_along_axis(cand, sel, axis=1)
+        elif n_chunks > 1:
+            kc = min(k, W)
+            v1, i1 = jax.lax.top_k(-Dsq.reshape(rb * n_chunks, W), kc)
+            gl = i1.reshape(rb, n_chunks, kc) + (jnp.arange(n_chunks) * W)[None, :, None]
+            neg_top, i2 = jax.lax.top_k(v1.reshape(rb, n_chunks * kc), k)
+            ids = jnp.take_along_axis(gl.reshape(rb, n_chunks * kc), i2, axis=1)
         else:
             neg_top, ids = jax.lax.top_k(-Dsq, k)
         ok = -neg_top < (_BIG * 0.5)
