@@ -53,6 +53,10 @@ class PaddedStructure:
     atom_mask: jax.Array  # [NA] 1.0 for real atoms
     res_mask: jax.Array   # [NR] 1.0 for real residues
     y: Optional[jax.Array] = None  # [NR, C] labels (training only)
+    # one-hot gather tables (spatial.build_gather_tables; Morton-sorted
+    # layouts only): per-tile candidate rows + tile-local neighbor indices
+    gather_cand: Optional[jax.Array] = None  # [T, U] int32
+    gather_loc: Optional[jax.Array] = None   # [NA, K] int32
 
     @property
     def num_atoms(self):
@@ -115,6 +119,24 @@ def compute_topology(ps: PaddedStructure, k: int = NUM_NN, method: str = "exact"
     return dataclasses.replace(ps, ids_topk=ids)
 
 
+def attach_gather_tables(ps: PaddedStructure, u_fixed: Optional[int] = None) -> PaddedStructure:
+    """Build tile-local one-hot gather tables from ids_topk (host-side).
+
+    Meaningful on spatially sorted layouts (encode_and_pad spatial_sort);
+    returns ps unchanged when a tile's candidate count exceeds the table
+    budget (the model then falls back to the plain gather). Pass u_fixed
+    when structures will be stacked into batches (tables must share U)."""
+    from .spatial import build_gather_tables
+
+    ids = np.asarray(ps.ids_topk)
+    cand, loc = build_gather_tables(ids, ids.shape[0], u_fixed=u_fixed)
+    if cand is None:
+        return ps
+    return dataclasses.replace(
+        ps, gather_cand=jnp.asarray(cand), gather_loc=jnp.asarray(loc)
+    )
+
+
 def encode_and_pad(
     structure: dict,
     feature_flags=(True, False, False),
@@ -122,18 +144,33 @@ def encode_and_pad(
     nr: Optional[int] = None,
     with_topology: bool = True,
     knn_method: str = "exact",
+    spatial_sort: bool = False,
+    with_gather_tables: bool = False,
+    gather_u: int = 1024,
 ) -> PaddedStructure:
     """Full host path: structure record -> padded device arrays.
 
     feature_flags selects (qe, qr, qn) like the reference data handler
     (model/data_handler.py:37-43); the flagship models use element-only.
+
+    spatial_sort reorders atoms along a Morton curve (residue outputs are
+    invariant to atom order up to fp summation); with_gather_tables also
+    attaches the tile-local one-hot gather tables (implies spatial_sort).
     """
     X, M = encode_structure(structure)
     feats = encode_features(structure)
     q = np.concatenate([f for f, flag in zip(feats, feature_flags) if flag], axis=1)
+    if spatial_sort or with_gather_tables:
+        from .spatial import morton_order
+
+        perm = morton_order(X)
+        X, q, M = X[perm], q[perm], M[perm]
     ps = pad_structure_arrays(X, q, M, na=na, nr=nr)
     if with_topology:
         ps = compute_topology(ps, method=knn_method)
+        if with_gather_tables:
+            # fixed table width so same-bucket structures stack into batches
+            ps = attach_gather_tables(ps, u_fixed=gather_u)
     return ps
 
 
@@ -145,6 +182,10 @@ def stack_batch(structures: list) -> PaddedStructure:
     if len(shapes) != 1:
         raise ValueError(f"mixed bucket shapes in batch: {shapes}")
     has_y = structures[0].y is not None
+    # gather tables stack only if EVERY structure has same-shaped tables
+    # (fallbacks or mixed U buckets drop to the plain gather path)
+    t_shapes = {None if s.gather_cand is None else s.gather_cand.shape for s in structures}
+    has_tables = len(t_shapes) == 1 and None not in t_shapes
     return PaddedStructure(
         X=jnp.stack([s.X for s in structures]),
         ids_topk=jnp.stack([s.ids_topk for s in structures]),
@@ -153,4 +194,6 @@ def stack_batch(structures: list) -> PaddedStructure:
         atom_mask=jnp.stack([s.atom_mask for s in structures]),
         res_mask=jnp.stack([s.res_mask for s in structures]),
         y=jnp.stack([s.y for s in structures]) if has_y else None,
+        gather_cand=jnp.stack([s.gather_cand for s in structures]) if has_tables else None,
+        gather_loc=jnp.stack([s.gather_loc for s in structures]) if has_tables else None,
     )

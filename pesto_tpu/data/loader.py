@@ -44,6 +44,8 @@ class BucketedLoader:
         batch_multiple: int = 1,
         process_count: int = 1,
         process_index: int = 0,
+        gather_tables: bool = False,
+        gather_u: int = 1024,
     ):
         self.dataset = dataset
         self.sizes = np.asarray(sizes)
@@ -77,6 +79,10 @@ class BucketedLoader:
                                  "SPMD row-slicing are mutually exclusive")
         self.process_count = process_count
         self.process_index = process_index
+        # Morton-sort items and attach tile-local one-hot gather tables
+        # (fixed width so same-bucket batches stack); see pesto_tpu.spatial
+        self.gather_tables = gather_tables
+        self.gather_u = gather_u
         self.epoch = 0
 
         # precompute bucket assignment per item
@@ -134,6 +140,23 @@ class BucketedLoader:
 
         def load(i):
             X, ids_topk, q, M, y = self.dataset[i]
+            if self.gather_tables:
+                import dataclasses as _dc
+
+                import jax.numpy as jnp
+
+                from ..spatial import build_gather_tables, sort_encoded_item
+
+                X, ids_topk, q, M = sort_encoded_item(X, ids_topk, q, M)
+                ps = pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
+                cand, loc = build_gather_tables(
+                    np.asarray(ps.ids_topk), na, u_fixed=self.gather_u
+                )
+                if cand is not None:
+                    ps = _dc.replace(
+                        ps, gather_cand=jnp.asarray(cand), gather_loc=jnp.asarray(loc)
+                    )
+                return ps
             return pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
 
         padded, dummy = [], None
@@ -163,6 +186,9 @@ class BucketedLoader:
             atom_mask=jnp.zeros_like(tmpl.atom_mask),
             res_mask=jnp.zeros_like(tmpl.res_mask),
             y=jnp.zeros_like(tmpl.y) if tmpl.y is not None else None,
+            # all-zero tables are valid: every edge selects the sink row
+            gather_cand=jnp.zeros_like(tmpl.gather_cand) if tmpl.gather_cand is not None else None,
+            gather_loc=jnp.zeros_like(tmpl.gather_loc) if tmpl.gather_loc is not None else None,
         )
 
     def __iter__(self) -> Iterator[PaddedStructure]:

@@ -26,7 +26,12 @@ class Predictor:
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params
-        self.knn_method = knn_method  # "fast": ~2.6x kNN, far-tail swaps only
+        self.knn_method = knn_method  # "fast": approx kNN, far-tail swaps only
+        # one-hot MXU gather wins over the row-gather in bf16 (tables ride
+        # a Morton-sorted layout built host-side at encode time)
+        self.use_gather_tables = cfg.gather == "onehot" or (
+            cfg.gather == "auto" and cfg.dtype == "bfloat16"
+        )
         self._single = jax.jit(self._apply)
         # batches flatten into the atom axis inside the model (faster than
         # vmap on TPU); same jitted entry point handles both ranks
@@ -36,8 +41,8 @@ class Predictor:
     def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":
         return cls(cfg, load_reference_checkpoint(path, cfg))
 
-    def _apply(self, params, X, ids, q, M, am):
-        return self.model.apply({"params": params}, X, ids, q, M, am)
+    def _apply(self, params, X, ids, q, M, am, cand=None, loc=None):
+        return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc)
 
     def export_compiled(self, path: str, buckets=((512, 64),)) -> None:
         """Serialize the forward as portable StableHLO artifacts
@@ -98,9 +103,11 @@ class Predictor:
 
     def logits(self, ps: PaddedStructure) -> jax.Array:
         """Per-residue logits [NR, C] (or [B, NR, C] for batches)."""
-        if ps.X.ndim == 3:
-            return self._batched(self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
-        return self._single(self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
+        fn = self._batched if ps.X.ndim == 3 else self._single
+        return fn(
+            self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask,
+            ps.gather_cand, ps.gather_loc,
+        )
 
     def probabilities(self, ps: PaddedStructure) -> np.ndarray:
         # always float32 on host (bf16 outputs are not numpy-interoperable)
@@ -109,7 +116,8 @@ class Predictor:
     def predict_structure(self, structure: dict) -> np.ndarray:
         """Cleaned+concatenated structure record -> [n_res, C] probs."""
         ps = encode_and_pad(
-            structure, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method
+            structure, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method,
+            with_gather_tables=self.use_gather_tables,
         )
         nr = int(np.sum(np.asarray(ps.res_mask)))
         return self.probabilities(ps)[:nr]
@@ -133,7 +141,8 @@ class Predictor:
         encoded = []
         for i, s in enumerate(structures):
             ps = encode_and_pad(
-                s, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method
+                s, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method,
+                with_gather_tables=self.use_gather_tables,
             )
             encoded.append((i, ps))
         buckets: Dict[tuple, list] = {}

@@ -67,6 +67,13 @@ class PestoConfig:
     # ops/geometric_pallas.py; currently slower than the XLA fused path —
     # kept for experimentation, inference-only)
     pallas_edges: bool = False
+    # neighbor gather strategy: "take" (XLA row gather), "onehot"
+    # (tile-local one-hot MXU selection over Morton-sorted atoms; needs
+    # gather tables in the batch), or "auto" (onehot when tables are
+    # present). The XLA gather is row-rate-bound (~286 M rows/s on v5e)
+    # while the one-hot selection rides the MXU; bf16 measured 1.04 ms vs
+    # 1.46 ms per 0.5 M-row layer gather at U=1024.
+    gather: str = "auto"
 
     @property
     def feature_flags(self):

@@ -320,15 +320,36 @@ class StateUpdateLayer(nn.Module):
     pallas: bool = False
 
     @nn.compact
-    def __call__(self, q, p, ids_topk, D_nn, R_nn, atom_mask):
+    def __call__(self, q, p, ids_topk, D_nn, R_nn, atom_mask, gather_cand=None, gather_loc=None):
         nn_k = self.cfg.nn
-        ids_nn = ids_topk[:, :nn_k]
+        # bf16 mode streams the whole layer (state, gathered neighbors,
+        # geometry) in bf16 — the layer is HBM-traffic-bound, so halving
+        # activation bytes matters more than MXU speed (measured: casting
+        # only inside Dense left 88% of the fp32 layer time)
+        q = q.astype(self.dtype)
+        p = p.astype(self.dtype)
+        D_nn = D_nn.astype(self.dtype)
+        R_nn = R_nn.astype(self.dtype)
         # ONE combined 4S-wide gather for scalar+vector neighbor states:
         # gather cost on TPU is bound by row count, not bytes, so fusing
         # the q and p gathers halves the dominant per-layer cost
         N, S = q.shape
         qp = jnp.concatenate([q, p.reshape(N, 3 * S)], axis=1)  # [N, 4S]
-        qp_nn = jnp.take(qp, ids_nn, axis=0)                    # [N, nn, 4S]
+        if gather_cand is not None:
+            # tile-local one-hot MXU selection (Morton-sorted layout): the
+            # one-hot never reaches HBM (XLA fuses the iota-compare into
+            # the dot operand) and the backward pass is the transposed
+            # matmul instead of a row-rate-bound scatter-add
+            T, U = gather_cand.shape
+            tile = N // T
+            cand_qp = jnp.take(qp, gather_cand, axis=0)          # [T, U, 4S]
+            loc = gather_loc[:, :nn_k].reshape(T, tile * nn_k)
+            oh = (loc[:, :, None] == jnp.arange(U)[None, None, :]).astype(qp.dtype)
+            qp_nn = jnp.einsum(
+                "tmu,tuf->tmf", oh, cand_qp, precision=self.precision
+            ).reshape(N, nn_k, 4 * S)
+        else:
+            qp_nn = jnp.take(qp, ids_topk[:, :nn_k], axis=0)     # [N, nn, 4S]
         q_nn = qp_nn[..., :S]
         p_nn = qp_nn[..., S:].reshape(N, nn_k, 3, S)
         q, p = StateUpdate(self.cfg, self.dtype, self.precision, self.fused, self.pallas, name="su")(
@@ -339,9 +360,12 @@ class StateUpdateLayer(nn.Module):
             D_nn[:, :nn_k],
             R_nn[:, :nn_k, :],
         )
-        # sink & padding rows stay identically zero between layers
-        q = q * atom_mask[:, None]
-        p = p * atom_mask[:, None, None]
+        # sink & padding rows stay identically zero between layers (cast the
+        # mask, not the state: an f32 mask would silently upcast the whole
+        # bf16 activation stream back to f32)
+        am = atom_mask.astype(q.dtype)
+        q = q * am[:, None]
+        p = p * am[:, None, None]
         return q, p
 
 
@@ -369,11 +393,11 @@ class _ScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, carry, _):
-        q, p, ids_topk, D_nn, R_nn, atom_mask = carry
+        q, p, ids_topk, D_nn, R_nn, atom_mask, gather_cand, gather_loc = carry
         q, p = StateUpdateLayer(self.cfg, self.dtype, self.precision, self.fused, self.pallas, name="sul")(
-            q, p, ids_topk, D_nn, R_nn, atom_mask
+            q, p, ids_topk, D_nn, R_nn, atom_mask, gather_cand, gather_loc
         )
-        return (q, p, ids_topk, D_nn, R_nn, atom_mask), None
+        return (q, p, ids_topk, D_nn, R_nn, atom_mask, gather_cand, gather_loc), None
 
 
 class StatePool(nn.Module):
@@ -430,10 +454,12 @@ class PestoModel(nn.Module):
     cfg: PestoConfig
 
     @nn.compact
-    def __call__(self, X, ids_topk, q0, M, atom_mask):
+    def __call__(self, X, ids_topk, q0, M, atom_mask, gather_cand=None, gather_loc=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         prec = _PRECISIONS[cfg.precision]
+        if cfg.gather == "take":
+            gather_cand = gather_loc = None
 
         batched = X.ndim == 3
         if batched:
@@ -450,6 +476,11 @@ class PestoModel(nn.Module):
             D_nn = D_nn.reshape(B * NA, -1)
             R_nn = R_nn.reshape(B * NA, -1, 3)
             ids_topk = ids_flat
+            if gather_cand is not None:
+                # candidate tables hold padded-row ids of their own
+                # structure; shift into the flat row range like ids
+                gather_cand = (gather_cand + offsets).reshape(-1, gather_cand.shape[-1])
+                gather_loc = gather_loc.reshape(B * NA, -1)  # tile-local, no shift
         else:
             n_real = jnp.sum(atom_mask).astype(jnp.int32)
             D_nn, R_nn = unpack_state_features(X, ids_topk, atom_mask, n_real)
@@ -459,7 +490,7 @@ class PestoModel(nn.Module):
         # matching the reference's zero-row prepend (model/model.py:34-40)
         em_feats = (cfg.em_n1,) if cfg.em_single else (cfg.em_n1, cfg.em_n1, cfg.em_n1)
         q = MLP3(em_feats, dtype, prec, name="em")(q0)
-        q = q * atom_mask_flat[:, None]
+        q = q * atom_mask_flat.astype(q.dtype)[:, None]
         p = jnp.zeros((X.shape[0], 3, cfg.em_n1), dtype=q.dtype)
 
         if cfg.scan_layers:
@@ -479,12 +510,14 @@ class PestoModel(nn.Module):
                     split_rngs={"params": True},
                     length=n,
                 )(lc, dtype, prec, cfg.fused_edges, cfg.pallas_edges, name=f"sulg_{g}")
-                (q, p, *_), _ = scan((q, p, ids_topk, D_nn, R_nn, atom_mask_flat), None)
+                (q, p, *_), _ = scan(
+                    (q, p, ids_topk, D_nn, R_nn, atom_mask_flat, gather_cand, gather_loc), None
+                )
         else:
             layer_cls = nn.remat(StateUpdateLayer) if cfg.remat else StateUpdateLayer
             for i, lc in enumerate(cfg.layers):
                 q, p = layer_cls(lc, dtype, prec, cfg.fused_edges, cfg.pallas_edges, name=f"sul_{i}")(
-                    q, p, ids_topk, D_nn, R_nn, atom_mask_flat
+                    q, p, ids_topk, D_nn, R_nn, atom_mask_flat, gather_cand, gather_loc
                 )
 
         if batched:

@@ -24,8 +24,9 @@ do not.
 import numpy as np
 
 # gather tile size (atoms per tile) and the bucket ladder for the
-# per-tile candidate-table width U
-GATHER_TILE = 256
+# per-tile candidate-table width U. tile=128 measured fastest on v5e
+# (U ~700-1024 on real proteins; one-hot FLOPs scale with U).
+GATHER_TILE = 128
 U_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048)
 
 
@@ -58,20 +59,34 @@ def sort_structure_arrays(X, q, M, y=None):
     return X[perm], q[perm], M[perm], perm
 
 
-def build_gather_tables(ids_padded: np.ndarray, na: int, tile: int = GATHER_TILE):
+def sort_encoded_item(X, ids, q, M):
+    """Morton-sort an already-encoded item (X [n,3], raw 0-based neighbor
+    ids [n,k], q, M): permute atom rows and relabel ids. Per-neighbor
+    distance order within each row is preserved."""
+    perm = morton_order(X)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0])
+    return X[perm], inv[np.asarray(ids)][perm], q[perm], M[perm]
+
+
+def build_gather_tables(
+    ids_padded: np.ndarray, na: int, tile: int = GATHER_TILE, u_fixed: int = None
+):
     """Tile-local candidate tables for the one-hot MXU gather.
 
     Args:
       ids_padded: [NA, K] int neighbor ids in the padded convention
                   (0 = sink, real atoms at rows 1..n).
       na:         padded atom count (multiple of `tile`).
+      u_fixed:    force this table width (batches need a uniform U to
+                  stack); default: smallest fitting U_BUCKETS entry.
 
     Returns:
       cand: [T, U] int32 — per destination tile, the unique source rows its
             edges reference, padded with 0 (the sink, whose state is zero).
       loc:  [NA, K] int32 — each edge's index into its tile's cand list.
-      or (None, None) if some tile's unique count exceeds the largest U
-      bucket (caller falls back to the plain gather path).
+      or (None, None) if some tile's unique count exceeds the U budget
+      (caller falls back to the plain gather path).
     """
     ids = np.asarray(ids_padded)
     NA, K = ids.shape
@@ -81,7 +96,10 @@ def build_gather_tables(ids_padded: np.ndarray, na: int, tile: int = GATHER_TILE
 
     uniqs = [np.unique(per_tile[t]) for t in range(T)]
     u_max = max(int(u.shape[0]) for u in uniqs)
-    U = next((b for b in U_BUCKETS if u_max <= b), None)
+    if u_fixed is not None:
+        U = u_fixed if u_max <= u_fixed else None
+    else:
+        U = next((b for b in U_BUCKETS if u_max <= b), None)
     if U is None:
         return None, None
 

@@ -15,12 +15,17 @@ def random_padded_structure(
     seed: int = 0,
     with_labels: bool = False,
     with_topology: bool = True,
+    with_gather_tables: bool = False,
 ) -> PaddedStructure:
     """A random protein-like point cloud (realistic ~0.1 atoms/A^3 density)
     padded into a bucket, with optional random labels."""
     rng = np.random.RandomState(seed)
     box = max((n_atoms / 0.1) ** (1.0 / 3.0), 10.0)
     X = (rng.rand(n_atoms, 3) * box).astype(np.float32)
+    if with_gather_tables:
+        from .spatial import morton_order
+
+        X = X[morton_order(X)]
     q = np.eye(n_features, dtype=np.float32)[rng.randint(0, n_features, n_atoms)]
     resid = np.sort(rng.randint(0, n_res, n_atoms))
     resid[0] = 0
@@ -30,4 +35,8 @@ def random_padded_structure(
     ps = pad_structure_arrays(X, q, M, na=na, nr=nr, y=y)
     if with_topology:
         ps = compute_topology(ps)
+        if with_gather_tables:
+            from .batching import attach_gather_tables
+
+            ps = attach_gather_tables(ps, u_fixed=1024)
     return ps

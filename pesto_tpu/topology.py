@@ -85,6 +85,7 @@ def knn_topology(
     Xb = jnp.pad(Xc, ((0, pad_rows), (0, 0))).reshape(nb, row_block, 3)
     Sb = jnp.pad(sq, (0, pad_rows)).reshape(nb, row_block)
     Mb = jnp.pad(mask, (0, pad_rows)).reshape(nb, row_block)
+    Ob = jnp.arange(nb, dtype=jnp.int32) * row_block  # global row offsets
 
     def block_dsq(xb, sb, mb):
         G = jnp.dot(xb, Xc.T, precision=prec)          # [rb, NA] on the MXU
@@ -92,9 +93,20 @@ def knn_topology(
         pair_ok = (mb[:, None] * valid_col) > 0
         return Dsq, pair_ok
 
+    def block_dup(Dsq, ob):
+        """Self/duplicate mask for one row block. The diagonal is masked
+        STRUCTURALLY: the Gram form's cancellation noise (~|X|^2 * eps,
+        i.e. ~1e-4 in Dsq) sits exactly at the reference's d < 1e-2
+        threshold, so a value test alone can leak an atom's own row into
+        its neighbor list and shift every slot (measured: ~5% of rows)."""
+        rb = Dsq.shape[0]
+        rows = ob + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, NA), 1)
+        return (rows == cols) | (Dsq < 1e-4)
+
     # pass 1: global max squared distance over valid pairs
     def block_max(carry, args):
-        Dsq, pair_ok = block_dsq(*args)
+        Dsq, pair_ok = block_dsq(*args[:3])
         return jnp.maximum(carry, jnp.max(jnp.where(pair_ok, Dsq, -jnp.inf))), None
 
     Dsq_max, _ = jax.lax.scan(block_max, -jnp.inf, (Xb, Sb, Mb))
@@ -112,9 +124,9 @@ def knn_topology(
     W = 512
     n_chunks = NA // W if (NA % W == 0 and NA // W >= 2) else 1
 
-    def block_topk(xb, sb, mb):
+    def block_topk(xb, sb, mb, ob):
         Dsq, pair_ok = block_dsq(xb, sb, mb)
-        Dsq = Dsq + (Dsq_max + 1.0) * (Dsq < 1e-4).astype(Dsq.dtype)
+        Dsq = Dsq + (Dsq_max + 1.0) * block_dup(Dsq, ob).astype(Dsq.dtype)
         Dsq = jnp.where(pair_ok, Dsq, _BIG)
         rb = Dsq.shape[0]
         if method == "fast" and NA > 2 * k:
@@ -135,7 +147,7 @@ def knn_topology(
         ok = -neg_top < (_BIG * 0.5)
         return jnp.where(ok, ids, 0).astype(jnp.int32), ok
 
-    ids, ok = jax.lax.map(lambda a: block_topk(*a), (Xb, Sb, Mb))
+    ids, ok = jax.lax.map(lambda a: block_topk(*a), (Xb, Sb, Mb, Ob))
     ids = ids.reshape(nb * row_block, k)[:NA]
     ok = ok.reshape(nb * row_block, k)[:NA]
 

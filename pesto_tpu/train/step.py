@@ -17,7 +17,8 @@ def _batched_forward(model, params, batch: PaddedStructure):
     # the model flattens the batch into the atom axis internally (faster
     # than vmap on TPU for the gather-heavy layer stack)
     return model.apply(
-        {"params": params}, batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask
+        {"params": params}, batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask,
+        batch.gather_cand, batch.gather_loc,
     )
 
 
