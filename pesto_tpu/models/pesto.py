@@ -495,11 +495,16 @@ class PestoModel(nn.Module):
 
         if cfg.scan_layers:
             if cfg.remat:
-                policy = (
-                    jax.checkpoint_policies.dots_saveable
-                    if cfg.remat_policy == "dots"
-                    else None
-                )
+                policy = {
+                    # save every matmul output (no recompute in backward);
+                    # fits the 1k bucket at B=16 in bf16
+                    "dots": jax.checkpoint_policies.dots_saveable,
+                    # save only un-batched matmuls: keeps the edge-MLP
+                    # activations but recomputes the per-atom batched
+                    # einsums (attention + one-hot selection), whose
+                    # outputs are the memory hogs under the gather tables
+                    "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                }.get(cfg.remat_policy)
                 body = nn.remat(_ScanBody, prevent_cse=False, policy=policy)
             else:
                 body = _ScanBody

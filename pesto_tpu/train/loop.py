@@ -70,6 +70,12 @@ class TrainConfig:
     max_batch: int = 32
     seed: int = 0
     use_mesh: bool = True
+    # host input pipeline: decode/pad in this many worker processes
+    # (reference num_workers=8, model/main.py:37); 0 = one prefetch thread
+    num_workers: int = 8
+    # one-hot MXU gather tables (Morton-sorted layout); pairs with
+    # PestoConfig.gather="auto"
+    gather_tables: bool = True
 
 
 def setup_dataset(tc: TrainConfig, selection_filepath: Optional[str], features_flags):
@@ -218,24 +224,26 @@ def train(
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
         shuffle=True, seed=tc.seed, batch_multiple=batch_multiple,
         process_count=n_proc, process_index=proc_id,
+        num_workers=tc.num_workers, gather_tables=tc.gather_tables,
     )
     loader_test = BucketedLoader(
         ds_test, ds_test.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
         shuffle=False, seed=tc.seed, batch_multiple=batch_multiple,
         process_count=n_proc, process_index=proc_id,
+        num_workers=tc.num_workers, gather_tables=tc.gather_tables,
     )
     if tc.use_mesh and n_dev > 1:
         from ..parallel import make_dp_train_step, make_dp_eval_step, make_mesh, replicate_state, shard_batch
 
         mesh = make_mesh()
-        train_step = make_dp_train_step(model_cfg, tx, mesh, tc.pos_weight_factor, donate=False)
+        train_step = make_dp_train_step(model_cfg, tx, mesh, tc.pos_weight_factor, donate=True)
         eval_step = make_dp_eval_step(model_cfg, mesh, tc.pos_weight_factor)
         state = replicate_state(state, mesh)
         put = lambda b: shard_batch(b, mesh)
         logger.print(f"> data-parallel over {n_dev} devices")
     else:
-        train_step = make_train_step(model_cfg, tx, tc.pos_weight_factor, donate=False)
+        train_step = make_train_step(model_cfg, tx, tc.pos_weight_factor, donate=True)
         eval_step = make_eval_step(model_cfg, tc.pos_weight_factor)
         put = lambda b: b
 

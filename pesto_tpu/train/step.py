@@ -6,6 +6,7 @@ BCE, and (for training) the Adam update — one XLA program per bucket shape
 (reference loop: model/main.py:179-204)."""
 
 import jax
+import jax.numpy as jnp
 
 from ..batching import PaddedStructure
 from ..models import PestoConfig, PestoModel
@@ -15,11 +16,14 @@ from .state import TrainState
 
 def _batched_forward(model, params, batch: PaddedStructure):
     # the model flattens the batch into the atom axis internally (faster
-    # than vmap on TPU for the gather-heavy layer stack)
-    return model.apply(
+    # than vmap on TPU for the gather-heavy layer stack); logits are cast
+    # to fp32 so the BCE/softplus and pos_ratios math stay full-precision
+    # even when the model computes in bfloat16 (fp32 master weights)
+    z = model.apply(
         {"params": params}, batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask,
         batch.gather_cand, batch.gather_loc,
     )
+    return z.astype(jnp.float32)
 
 
 def build_train_step_fn(cfg: PestoConfig, tx, pos_weight_factor: float = 0.5):
