@@ -106,10 +106,11 @@ def pad_structure_arrays(
         yp = np.zeros((nr, y.shape[1]), dtype=np.float32)
         yp[:r] = y
 
+    # numpy-backed on purpose: padding runs on the host (often in loader
+    # worker PROCESSES that must never touch jax); jit/device_put converts
+    # at the device boundary, so downstream consumers see no difference
     return PaddedStructure(
-        X=jnp.asarray(Xp), ids_topk=jnp.asarray(ids), q=jnp.asarray(qp),
-        M=jnp.asarray(Mp), atom_mask=jnp.asarray(am), res_mask=jnp.asarray(rm),
-        y=jnp.asarray(yp) if yp is not None else None,
+        X=Xp, ids_topk=ids, q=qp, M=Mp, atom_mask=am, res_mask=rm, y=yp,
     )
 
 
@@ -132,9 +133,8 @@ def attach_gather_tables(ps: PaddedStructure, u_fixed: Optional[int] = None) -> 
     cand, loc = build_gather_tables(ids, ids.shape[0], u_fixed=u_fixed)
     if cand is None:
         return ps
-    return dataclasses.replace(
-        ps, gather_cand=jnp.asarray(cand), gather_loc=jnp.asarray(loc)
-    )
+    # numpy-backed (host path); jit/device_put converts at the boundary
+    return dataclasses.replace(ps, gather_cand=cand, gather_loc=loc)
 
 
 def encode_and_pad(
@@ -186,14 +186,19 @@ def stack_batch(structures: list) -> PaddedStructure:
     # (fallbacks or mixed U buckets drop to the plain gather path)
     t_shapes = {None if s.gather_cand is None else s.gather_cand.shape for s in structures}
     has_tables = len(t_shapes) == 1 and None not in t_shapes
+    # keep the batch on the host (np.stack) when every field is numpy —
+    # loader worker processes must not create device arrays; stack on
+    # device otherwise to avoid a pointless device->host round trip
+    all_np = all(isinstance(s.X, np.ndarray) for s in structures)
+    stack = np.stack if all_np else jnp.stack
     return PaddedStructure(
-        X=jnp.stack([s.X for s in structures]),
-        ids_topk=jnp.stack([s.ids_topk for s in structures]),
-        q=jnp.stack([s.q for s in structures]),
-        M=jnp.stack([s.M for s in structures]),
-        atom_mask=jnp.stack([s.atom_mask for s in structures]),
-        res_mask=jnp.stack([s.res_mask for s in structures]),
-        y=jnp.stack([s.y for s in structures]) if has_y else None,
-        gather_cand=jnp.stack([s.gather_cand for s in structures]) if has_tables else None,
-        gather_loc=jnp.stack([s.gather_loc for s in structures]) if has_tables else None,
+        X=stack([s.X for s in structures]),
+        ids_topk=stack([s.ids_topk for s in structures]),
+        q=stack([s.q for s in structures]),
+        M=stack([s.M for s in structures]),
+        atom_mask=stack([s.atom_mask for s in structures]),
+        res_mask=stack([s.res_mask for s in structures]),
+        y=stack([s.y for s in structures]) if has_y else None,
+        gather_cand=stack([s.gather_cand for s in structures]) if has_tables else None,
+        gather_loc=stack([s.gather_loc for s in structures]) if has_tables else None,
     )

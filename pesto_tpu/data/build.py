@@ -165,64 +165,108 @@ def preprocess_for_build(structure):
     return remove_duplicate_tagged_subunits(subunits)
 
 
+def _process_pdb_for_build(pdb_filepath: str, cfg: dict):
+    """Parse + encode one biounit: the parallelizable part of the build.
+
+    Returns (pdbid, bid, structures_data, contacts_data) or None when the
+    file is skipped (parse error, too large, no inter-subunit contacts)."""
+    from ..io import read_pdb
+
+    m = re.match(r".*/([a-zA-Z0-9]*)\.pdb([0-9]*)(\.gz)?$", str(pdb_filepath))
+    if m:
+        pdbid, bid = m[1], (m[2] or "1")
+    else:
+        pdbid, bid = str(pdb_filepath).split("/")[-1].split(".")[0], "1"
+
+    try:
+        structure = read_pdb(pdb_filepath)
+    except Exception as e:
+        print(f"ReadError: {pdb_filepath}: {e}")
+        return None
+    if structure["xyz"].shape[0] >= cfg["max_num_atoms"]:
+        return None
+    subunits = preprocess_for_build(structure)
+    if subunits is None:
+        return None
+    contacts = extract_all_contacts(subunits, cfg["r_thr"])
+    if len(contacts) == 0:
+        return None
+    structures_data, contacts_data = pack_dataset_items(
+        subunits, contacts, cfg["molecule_ids"], cfg["max_num_nn"]
+    )
+    return pdbid, bid, structures_data, contacts_data
+
+
+def _build_worker_init():
+    # encode/contact math may use jax; pin workers to the CPU backend so
+    # they never open their own device client
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def _build_worker(task):
+    pdb_filepath, cfg = task
+    return _process_pdb_for_build(pdb_filepath, cfg)
+
+
 def build_dataset_h5(
     pdb_filepaths: List[str],
     dataset_filepath: str,
     config: Optional[dict] = None,
     progress: bool = False,
+    num_workers: int = 0,
 ):
-    """Build a reference-schema dataset file from biounit PDBs."""
-    from ..io import read_pdb
+    """Build a reference-schema dataset file from biounit PDBs.
 
+    num_workers > 0 parses/encodes in that many spawned worker processes
+    (the reference builds with 16 DataLoader workers,
+    processing/build_dataset.py:179); the single HDF5 writer stays in this
+    process, so item order — and the output file — is identical either way.
+    """
     cfg = dict(DEFAULT_CONFIG)
     cfg.update(config or {})
 
-    it = pdb_filepaths
+    if num_workers > 0:
+        import multiprocessing as mp
+
+        pool = mp.get_context("spawn").Pool(num_workers, initializer=_build_worker_init)
+        results = pool.imap(_build_worker, [(p, cfg) for p in pdb_filepaths], chunksize=4)
+    else:
+        pool = None
+        results = (_process_pdb_for_build(p, cfg) for p in pdb_filepaths)
+
+    it = results
     if progress:
         try:
             from tqdm import tqdm
 
-            it = tqdm(pdb_filepaths)
+            it = tqdm(results, total=len(pdb_filepaths))
         except ImportError:
             pass
 
-    with h5py.File(dataset_filepath, "w", libver="latest") as hf:
-        for key in config_encoding:
-            hf[f"metadata/{key}"] = config_encoding[key].astype(np.bytes_)
-        hf["metadata/mids"] = cfg["molecule_ids"].astype(np.bytes_)
+    try:
+        with h5py.File(dataset_filepath, "w", libver="latest") as hf:
+            for key in config_encoding:
+                hf[f"metadata/{key}"] = config_encoding[key].astype(np.bytes_)
+            hf["metadata/mids"] = cfg["molecule_ids"].astype(np.bytes_)
 
-        metadata_l = []
-        for pdb_filepath in it:
-            m = re.match(r".*/([a-zA-Z0-9]*)\.pdb([0-9]*)(\.gz)?$", str(pdb_filepath))
-            if m:
-                pdbid, bid = m[1], (m[2] or "1")
-            else:
-                pdbid, bid = str(pdb_filepath).split("/")[-1].split(".")[0], "1"
+            metadata_l = []
+            for res in it:
+                if res is None:
+                    continue
+                pdbid, bid, structures_data, contacts_data = res
+                metadata_l.extend(
+                    store_dataset_items(hf, pdbid, bid, structures_data, contacts_data)
+                )
 
-            try:
-                structure = read_pdb(pdb_filepath)
-            except Exception as e:
-                print(f"ReadError: {pdb_filepath}: {e}")
-                continue
-            if structure["xyz"].shape[0] >= cfg["max_num_atoms"]:
-                continue
-            subunits = preprocess_for_build(structure)
-            if subunits is None:
-                continue
-            contacts = extract_all_contacts(subunits, cfg["r_thr"])
-            if len(contacts) == 0:
-                continue
-            structures_data, contacts_data = pack_dataset_items(
-                subunits, contacts, cfg["molecule_ids"], cfg["max_num_nn"]
-            )
-            metadata_l.extend(
-                store_dataset_items(hf, pdbid, bid, structures_data, contacts_data)
-            )
-
-        hf["metadata/keys"] = np.array([m["key"] for m in metadata_l]).astype(np.bytes_)
-        hf["metadata/sizes"] = np.array([m["size"] for m in metadata_l])
-        hf["metadata/ckeys"] = np.array([m["ckey"] for m in metadata_l]).astype(np.bytes_)
-        hf["metadata/ctypes"] = np.stack(
-            np.where(np.array([m["ctype"] for m in metadata_l])), axis=1
-        ).astype(np.uint32)
+            hf["metadata/keys"] = np.array([m["key"] for m in metadata_l]).astype(np.bytes_)
+            hf["metadata/sizes"] = np.array([m["size"] for m in metadata_l])
+            hf["metadata/ckeys"] = np.array([m["ckey"] for m in metadata_l]).astype(np.bytes_)
+            hf["metadata/ctypes"] = np.stack(
+                np.where(np.array([m["ctype"] for m in metadata_l])), axis=1
+            ).astype(np.uint32)
+    finally:
+        if pool is not None:
+            pool.terminate()
     return len(metadata_l)

@@ -61,6 +61,7 @@ class H5Dataset:
         self.t0 = np.arange(self.mids.shape[0])
         self.t1_l = [np.arange(self.mids.shape[0])]
         self._hf = None  # lazily opened per process/worker
+        self._hf_pid = None
 
     def _update_selection(self):
         self.ckeys_map = {}
@@ -93,9 +94,30 @@ class H5Dataset:
         return len(self.ukeys)
 
     def _file(self):
-        if self._hf is None:
+        # per-pid handle: h5py file objects are not fork-safe, so a loader
+        # worker process forked after the parent opened the file must
+        # re-open its own handle
+        import os
+
+        pid = os.getpid()
+        if self._hf is None or self._hf_pid != pid:
             self._hf = h5py.File(self.dataset_filepath, "r")
+            self._hf_pid = pid
         return self._hf
+
+    def reset_handles(self):
+        """Drop the open HDF5 handle (called before forking workers)."""
+        if self._hf is not None:
+            try:
+                self._hf.close()
+            except Exception:
+                pass
+        self._hf = None
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_hf"] = None  # handles never cross process boundaries
+        return d
 
     def __getitem__(self, k: int):
         """Returns unpadded (X [n,3], ids_topk [n,64], q [n,F], M [n,r],

@@ -14,6 +14,17 @@ from typing import Dict, Iterator
 
 import numpy as np
 
+# fork-inherited loader reference for worker processes (set immediately
+# before the Pool fork; children read their inherited copy, the parent
+# clears it right after). Workers run numpy-only code — they never touch
+# jax, so forking from a process with a live TPU client is safe.
+_FORK_LOADER = None
+
+
+def _mp_make_batch(spec):
+    bucket, items = spec
+    return _FORK_LOADER._make_batch(bucket, items)
+
 from ..batching import (
     ATOM_BUCKETS,
     RES_BUCKETS,
@@ -46,6 +57,7 @@ class BucketedLoader:
         process_index: int = 0,
         gather_tables: bool = False,
         gather_u: int = 1024,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.sizes = np.asarray(sizes)
@@ -83,6 +95,12 @@ class BucketedLoader:
         # (fixed width so same-bucket batches stack); see pesto_tpu.spatial
         self.gather_tables = gather_tables
         self.gather_u = gather_u
+        # parse/decode/pad in num_workers forked processes (the reference
+        # uses 8-16 DataLoader workers, model/main.py:37); 0 = a single
+        # prefetch thread. Workers are created lazily on first iteration
+        # and live for the loader's lifetime.
+        self.num_workers = num_workers
+        self._pool = None
         self.epoch = 0
 
         # precompute bucket assignment per item
@@ -143,8 +161,6 @@ class BucketedLoader:
             if self.gather_tables:
                 import dataclasses as _dc
 
-                import jax.numpy as jnp
-
                 from ..spatial import build_gather_tables, sort_encoded_item
 
                 X, ids_topk, q, M = sort_encoded_item(X, ids_topk, q, M)
@@ -153,9 +169,7 @@ class BucketedLoader:
                     np.asarray(ps.ids_topk), na, u_fixed=self.gather_u
                 )
                 if cand is not None:
-                    ps = _dc.replace(
-                        ps, gather_cand=jnp.asarray(cand), gather_loc=jnp.asarray(loc)
-                    )
+                    ps = _dc.replace(ps, gather_cand=cand, gather_loc=loc)
                 return ps
             return pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
 
@@ -175,25 +189,62 @@ class BucketedLoader:
     def _zeroed(tmpl):
         import dataclasses as _dc
 
-        import jax.numpy as jnp
-
         return _dc.replace(
             tmpl,
-            X=jnp.zeros_like(tmpl.X),
-            ids_topk=jnp.zeros_like(tmpl.ids_topk),
-            q=jnp.zeros_like(tmpl.q),
-            M=jnp.zeros_like(tmpl.M),
-            atom_mask=jnp.zeros_like(tmpl.atom_mask),
-            res_mask=jnp.zeros_like(tmpl.res_mask),
-            y=jnp.zeros_like(tmpl.y) if tmpl.y is not None else None,
+            X=np.zeros_like(tmpl.X),
+            ids_topk=np.zeros_like(tmpl.ids_topk),
+            q=np.zeros_like(tmpl.q),
+            M=np.zeros_like(tmpl.M),
+            atom_mask=np.zeros_like(tmpl.atom_mask),
+            res_mask=np.zeros_like(tmpl.res_mask),
+            y=np.zeros_like(tmpl.y) if tmpl.y is not None else None,
             # all-zero tables are valid: every edge selects the sink row
-            gather_cand=jnp.zeros_like(tmpl.gather_cand) if tmpl.gather_cand is not None else None,
-            gather_loc=jnp.zeros_like(tmpl.gather_loc) if tmpl.gather_loc is not None else None,
+            gather_cand=np.zeros_like(tmpl.gather_cand) if tmpl.gather_cand is not None else None,
+            gather_loc=np.zeros_like(tmpl.gather_loc) if tmpl.gather_loc is not None else None,
         )
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            global _FORK_LOADER
+            # drop any handle the parent opened so children open their own
+            # (h5py handles are not fork-safe; H5Dataset also pid-guards)
+            ds_reset = getattr(self.dataset, "reset_handles", None)
+            if ds_reset is not None:
+                ds_reset()
+            _FORK_LOADER = self
+            try:
+                self._pool = mp.get_context("fork").Pool(self.num_workers)
+            finally:
+                _FORK_LOADER = None
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def _iter_processes(self, batches) -> Iterator[PaddedStructure]:
+        """Ordered bounded-window fan-out over the worker pool."""
+        from collections import deque
+
+        pool = self._ensure_pool()
+        depth = self.num_workers + max(self.prefetch, 1)
+        inflight = deque()
+        for spec in batches:
+            inflight.append(pool.apply_async(_mp_make_batch, (spec,)))
+            if len(inflight) >= depth:
+                yield inflight.popleft().get()
+        while inflight:
+            yield inflight.popleft().get()
 
     def __iter__(self) -> Iterator[PaddedStructure]:
         batches = self._plan()
         self.epoch += 1
+        if self.num_workers > 0:
+            yield from self._iter_processes(batches)
+            return
         if self.prefetch <= 0:
             for bucket, items in batches:
                 yield self._make_batch(bucket, items)

@@ -5,6 +5,25 @@ import numpy as np
 from .batching import PaddedStructure, compute_topology, pad_structure_arrays
 
 
+def random_structure_arrays(
+    n_atoms: int = 50,
+    n_res: int = 12,
+    n_features: int = 30,
+    seed: int = 0,
+):
+    """Raw unpadded (X [n,3], q [n,F], M [n,r]) protein-like point cloud
+    (~0.1 atoms/A^3), for exercising the full host encode pipeline."""
+    rng = np.random.RandomState(seed)
+    box = max((n_atoms / 0.1) ** (1.0 / 3.0), 10.0)
+    X = (rng.rand(n_atoms, 3) * box).astype(np.float32)
+    q = np.eye(n_features, dtype=np.float32)[rng.randint(0, n_features, n_atoms)]
+    resid = np.sort(rng.randint(0, n_res, n_atoms))
+    resid[0] = 0
+    resid[-1] = n_res - 1
+    M = (resid[:, None] == np.arange(n_res)[None, :]).astype(np.float32)
+    return X, q, M
+
+
 def random_padded_structure(
     n_atoms: int = 50,
     n_res: int = 12,

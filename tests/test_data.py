@@ -232,3 +232,56 @@ def test_bucketed_loader_rejects_bad_process_split(tmp_path):
 
     with _pytest.raises(ValueError):
         BucketedLoader(ds, ds.sizes_selected(), batch_multiple=3, process_count=2)
+
+
+def test_bucketed_loader_worker_processes(tmp_path):
+    """num_workers>0 must yield byte-identical batches, in order, vs the
+    inline path (workers are forked processes running numpy-only code)."""
+    pdb = _two_chain_pdb(tmp_path, name="7abc.pdb1")
+    h5_path = str(tmp_path / "mp.h5")
+    build_dataset_h5([pdb], h5_path, progress=False)
+    ds = H5Dataset(h5_path)
+    ds.set_types(categ_to_resnames["protein"], [categ_to_resnames["protein"]])
+
+    kw = dict(atoms_per_batch=4096, shuffle=True, seed=5, gather_tables=True)
+    inline = BucketedLoader(ds, ds.sizes_selected(), prefetch=0, **kw)
+    mp_loader = BucketedLoader(ds, ds.sizes_selected(), num_workers=2, **kw)
+    try:
+        a = list(inline)
+        b = list(mp_loader)
+        assert len(a) == len(b) >= 1
+        for ba, bb in zip(a, b):
+            for field in ["X", "ids_topk", "q", "M", "atom_mask", "res_mask", "y",
+                          "gather_cand", "gather_loc"]:
+                va, vb = getattr(ba, field), getattr(bb, field)
+                if va is None:
+                    assert vb is None
+                    continue
+                assert isinstance(vb, np.ndarray)  # workers never touch jax
+                np.testing.assert_array_equal(np.asarray(va), vb, err_msg=field)
+        # second epoch reuses the pool
+        b2 = list(mp_loader)
+        assert len(b2) == len(b)
+    finally:
+        mp_loader.close()
+
+
+def test_build_dataset_parallel_identical(tmp_path):
+    """num_workers parsing must produce an identical dataset file content."""
+    import h5py
+
+    pdbs = [_two_chain_pdb(tmp_path, name=f"6ab{c}.pdb1") for c in "cdef"]
+    h5_a = str(tmp_path / "ser.h5")
+    h5_b = str(tmp_path / "par.h5")
+    build_dataset_h5(pdbs, h5_a, progress=False)
+    build_dataset_h5(pdbs, h5_b, progress=False, num_workers=2)
+
+    with h5py.File(h5_a) as fa, h5py.File(h5_b) as fb:
+        ka = sorted(fa["metadata/keys"][:].astype("U"))
+        kb = sorted(fb["metadata/keys"][:].astype("U"))
+        assert ka == kb and len(ka) > 0
+        np.testing.assert_array_equal(fa["metadata/sizes"][:], fb["metadata/sizes"][:])
+        k0 = fa["metadata/keys"][0].decode()
+        np.testing.assert_array_equal(
+            fa[f"data/structures/{k0}/X"][:], fb[f"data/structures/{k0}/X"][:]
+        )
