@@ -24,8 +24,13 @@ def collect_pdbs(inputs):
                 paths.extend(glob.glob(os.path.join(inp, pat)))
         else:
             paths.extend(glob.glob(inp))
-    # drop our own outputs
-    return sorted({p for p in paths if "_i" not in os.path.basename(p).split(".")[0][-3:]})
+    # drop our own outputs (stems ending in _i<digit>, e.g. x_i0.pdb) —
+    # but nothing else: a stem like "verify_in" must survive
+    import re
+
+    return sorted(
+        {p for p in paths if not re.search(r"_i\d$", os.path.basename(p).split(".")[0])}
+    )
 
 
 def main(argv=None):
