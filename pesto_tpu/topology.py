@@ -55,9 +55,9 @@ def knn_topology(
       k:         number of neighbors (reference uses 64).
       row_block: row tile size for the blocked distance computation.
       method:    "exact" (reference-parity lax.top_k) or "fast"
-                 (approx_max_k candidates + exact re-rank; ~6x faster
-                 top-k with ~99.6% neighbor-set agreement on protein-
-                 density point clouds — far-tail neighbors only).
+                 (ApproxTopK partial reduce + packed-key top-k; ~99.2%
+                 neighbor-set agreement on protein-density clouds, far-tail
+                 swaps only; ~3x faster selection — see the fast branch).
 
     Returns:
       ids_topk:  [NA, k] int32 neighbor ids into the padded array; invalid
@@ -104,38 +104,66 @@ def knn_topology(
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, NA), 1)
         return (rows == cols) | (Dsq < 1e-4)
 
-    # pass 1: global max squared distance over valid pairs
-    def block_max(carry, args):
-        Dsq, pair_ok = block_dsq(*args[:3])
-        return jnp.maximum(carry, jnp.max(jnp.where(pair_ok, Dsq, -jnp.inf))), None
+    # Duplicate pairs are pushed behind every real candidate but ahead of
+    # invalid ones. A STATIC push value keeps this a single pass over the
+    # distance matrix (a data-dependent Dmax+1 would need its own full
+    # pass first — measured ~4 ms at 8k atoms); selection order is
+    # identical for any push in (max real Dsq, _BIG): real Dsq is bounded
+    # by the PDB coordinate field (|x| < 1e4 A => Dsq < ~1.6e9 after
+    # centering; in practice << 1e8). The final *feature* value for
+    # duplicate slots still uses the exact global Dmax (reference
+    # src/data_encoding.py:93), computed below from the selected and
+    # rejected candidates in the same pass.
+    _PUSH = jnp.float32(4e9)
 
-    Dsq_max, _ = jax.lax.scan(block_max, -jnp.inf, (Xb, Sb, Mb))
-    Dsq_max = jnp.maximum(Dsq_max, 0.0).astype(jnp.float32)
-    Dmax = jnp.sqrt(Dsq_max)
-
-    # pass 2: blocked top-k on masked squared distances (order-equivalent
-    # to the reference's D + Dmax*(D<1e-2) masking on true distances).
-    # The exact path uses a two-level CHUNKED top-k: XLA's TopK on a 2-D
-    # [rows, W] input runs a fast path whose cost scales with elements,
-    # while wide rows pay superlinearly — splitting each row into W-wide
-    # chunks (L1), then reducing the per-chunk winners (L2), is exact
-    # (every global top-k member is a top-k member of its chunk) and
-    # measured 24 ms vs 45 ms for the direct [8192, 8192] top-k on v5e.
+    # Blocked top-k on masked squared distances (order-equivalent to the
+    # reference's D + Dmax*(D<1e-2) masking on true distances). The exact
+    # path uses a two-level CHUNKED top-k: XLA's TopK cost is element-
+    # bound (~4-5 Gelem/s on v5e, independent of k and dtype), but
+    # narrower rows run faster per element — splitting each row into
+    # W-wide chunks (L1), then reducing the per-chunk winners (L2), is
+    # exact (every global top-k member is a top-k member of its chunk):
+    # measured 19 ms vs 45 ms for the direct [8192, 8192] top-k on v5e.
     W = 512
     n_chunks = NA // W if (NA % W == 0 and NA // W >= 2) else 1
 
     def block_topk(xb, sb, mb, ob):
+        """Returns (ids [rb,k] int32, ok [rb,k] bool, block Dsq max)."""
         Dsq, pair_ok = block_dsq(xb, sb, mb)
-        Dsq = Dsq + (Dsq_max + 1.0) * block_dup(Dsq, ob).astype(Dsq.dtype)
+        bmax = jnp.max(jnp.where(pair_ok, Dsq, -jnp.inf))
+        Dsq = Dsq + _PUSH * block_dup(Dsq, ob).astype(Dsq.dtype)
         Dsq = jnp.where(pair_ok, Dsq, _BIG)
         rb = Dsq.shape[0]
         if method == "fast" and NA > 2 * k:
-            kc = min(k + 64, NA)
+            # ApproxTopK PARTIAL reduce (aggregate_to_topk=False) is a
+            # single cheap tournament pass (~1.5 ms at 8k); XLA's own
+            # aggregation re-runs a full-width top-k WITH index tracking,
+            # which costs ~3x a values-only top-k. So aggregate manually:
+            # pack (quantized Dsq | candidate slot) into one int32 key and
+            # select values-only; the index rides in the low bits.
+            # the barrier keeps XLA from fusing the distance computation
+            # into the PartialReduce, which changes its internal binning
+            # and measurably degrades recall (99.2% -> 95.5% observed)
             neg_c, cand = jax.lax.approx_max_k(
-                -Dsq, kc, recall_target=0.95, reduction_input_size_override=NA
+                jax.lax.optimization_barrier(-Dsq),
+                min(k + 32, NA), recall_target=0.95, aggregate_to_topk=False,
             )
-            neg_top, sel = jax.lax.top_k(neg_c, k)
+            L = neg_c.shape[1]
+            shift = max((L - 1).bit_length(), 1)  # slot bits
+            q = jax.lax.bitcast_convert_type(-neg_c, jnp.int32)  # Dsq>=0: monotone
+            slots = jax.lax.broadcasted_iota(jnp.int32, (rb, L), 1)
+            keys = (q & jnp.int32(-(1 << shift))) | slots
+            top = jax.lax.top_k(jnp.int32(0x7FFFFFFF) - keys, min(k, L))[0]
+            dec = jnp.int32(0x7FFFFFFF) - top
+            sel = dec & jnp.int32((1 << shift) - 1)
+            neg_top = -jax.lax.bitcast_convert_type(
+                dec & jnp.int32(-(1 << shift)), jnp.float32
+            )
             ids = jnp.take_along_axis(cand, sel, axis=1)
+            if ids.shape[1] < k:  # tiny-L corner: pad like the exact path
+                pad = k - ids.shape[1]
+                ids = jnp.pad(ids, ((0, 0), (0, pad)))
+                neg_top = jnp.pad(neg_top, ((0, 0), (0, pad)), constant_values=-_BIG)
         elif n_chunks > 1:
             kc = min(k, W)
             v1, i1 = jax.lax.top_k(-Dsq.reshape(rb * n_chunks, W), kc)
@@ -145,11 +173,12 @@ def knn_topology(
         else:
             neg_top, ids = jax.lax.top_k(-Dsq, k)
         ok = -neg_top < (_BIG * 0.5)
-        return jnp.where(ok, ids, 0).astype(jnp.int32), ok
+        return jnp.where(ok, ids, 0).astype(jnp.int32), ok, bmax
 
-    ids, ok = jax.lax.map(lambda a: block_topk(*a), (Xb, Sb, Mb, Ob))
+    ids, ok, bmaxes = jax.lax.map(lambda a: block_topk(*a), (Xb, Sb, Mb, Ob))
     ids = ids.reshape(nb * row_block, k)[:NA]
     ok = ok.reshape(nb * row_block, k)[:NA]
+    Dmax = jnp.sqrt(jnp.maximum(jnp.max(bmaxes), 0.0)).astype(jnp.float32)
 
     # exact distances / unit displacements for the selected neighbors only,
     # with the reference's self/duplicate masking (src/data_encoding.py:93)

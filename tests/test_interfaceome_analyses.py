@@ -1,0 +1,125 @@
+"""Interfaceome downstream analyses (reference: interfaceome/
+analysis_clinvar.ipynb, analysis_interfaces_uniprot_features.ipynb,
+analysis_cointerfaces.ipynb — logic as library functions; the notebooks'
+input datasets are not in the mount, so synthetic fixtures exercise the
+exact aggregation semantics)."""
+
+import numpy as np
+import pytest
+
+from pesto_tpu.analysis.interfaceome_analyses import (
+    aggregate_interfaces_tags,
+    annotate_interfaces,
+    classify_clinvar,
+    cointerface_statistics,
+    extract_dbsnp_ids,
+    feature_interface_overlap,
+    filter_quality_interfaces,
+    interface_coverage,
+    interface_type_counts,
+    tag_enrichment,
+    variant_interface_overlap,
+)
+
+
+def _structures():
+    # two proteins, 10 residues each; p0 high on 0..4 for A, low for B
+    mk = lambda hi: {
+        f"p{i}": (np.r_[np.full(5, hi if i == 0 else 0.1), np.full(5, 0.1)])
+        for i in range(5)
+    }
+    A = mk(0.9); A["resid"] = np.arange(10)
+    B = mk(0.3); B["resid"] = np.arange(10)
+    return {"A": A, "B": B}
+
+
+def test_filter_quality_and_coverage():
+    structures = _structures()
+    multi = {
+        "A": {"protein": [[0, 1, 2]], "protein+ion": [[3, 4]]},
+        "B": {"protein": [[0, 1, 2]]},
+    }
+    q = filter_quality_interfaces(structures, multi, p_thr=0.8)
+    assert q["A"]["protein"] == [[0, 1, 2]]          # mean p0 = 0.9 > 0.8
+    assert q["B"]["protein"] == []                   # mean p0 = 0.3
+    # multi-type itype not in itypes_sel passes through unfiltered
+    assert q["A"]["protein+ion"] == [[3, 4]]
+
+    cov = interface_coverage(structures, q)
+    # A: residues {0,1,2,3,4} = 5 of 10; B: none of 10
+    assert cov.tolist() == [[5, 10], [0, 10]]
+
+
+def test_aggregate_tags_and_enrichment():
+    structures = _structures()
+    interfaces = {
+        "A": [[[0, 1, 2]], [], [], [], []],
+        "B": [[[0, 1]], [], [], [], []],
+    }
+    tags = {"A": ["Nucleus", "Cytoplasm"], "B": ["Nucleus"]}
+    mp, counts = aggregate_interfaces_tags(structures, tags, interfaces)
+    assert counts == {"Nucleus": 2, "Cytoplasm": 1}
+    assert mp[0]["Nucleus"] == [pytest.approx(0.9), pytest.approx(0.3)]
+    assert mp[0]["Cytoplasm"] == [pytest.approx(0.9)]
+
+    H, sel = tag_enrichment(mp, counts, sel_tags=["Nucleus", "Cytoplasm"], p_thr=0.8)
+    # Nucleus: 1 of 2 proteins has a >0.8 protein interface; Cytoplasm: 1/1
+    assert H[0, 0] == pytest.approx(0.5)
+    assert H[1, 0] == pytest.approx(1.0)
+
+
+def test_clinvar_classification_and_overlap():
+    pd = pytest.importorskip("pandas")
+    assert extract_dbsnp_ids("in dbSNP:rs123 and dbSNP:rs456") == [123, 456]
+    assert classify_clinvar("Pathogenic;Benign") == "pathogenic"
+    assert classify_clinvar("Likely benign") == "benign"
+    assert classify_clinvar("Uncertain significance") == ""
+
+    df = pd.DataFrame(
+        {
+            "ftype": ["mutagenesis site"] * 4,
+            "mpi": [0.9, 0.6, -1.0, 0.9],
+            "itype": ["protein", "protein", "", "ion"],
+        }
+    )
+    # mpi_thr=0.8 keeps rows 0, 2, 3 -> 2 of 3 overlap an interface
+    assert feature_interface_overlap(df, ["mutagenesis site"], 0.8) == pytest.approx(100 * 2 / 3)
+
+    dfv = pd.DataFrame(
+        {"RS# (dbSNP)": [11, 22], "ClinicalSignificance": ["Pathogenic", "Benign"]}
+    )
+    feats = pd.DataFrame(
+        {
+            "ftype": ["sequence variant"] * 3,
+            "mpi": [0.9, 0.9, -1.0],
+            "itype": ["protein", "", ""],
+            "desc": ["x dbSNP:rs11", "y dbSNP:rs22", "z dbSNP:rs22"],
+        }
+    )
+    out = variant_interface_overlap(feats, dfv, 0.8)
+    assert out["pathogenic"] == pytest.approx(100.0)  # rs11 row overlaps
+    assert out["benign"] == pytest.approx(0.0)        # rs22 rows do not
+
+
+def test_annotate_and_cointerfaces():
+    structures = _structures()
+    structures["A"]["annotation"] = np.array(["Active site:Site"] * 5 + [""] * 5)
+    multi = {
+        "A": {"protein": [[0, 1], [5, 6]], "ion": [[7, 8]], "protein+ion": [[2, 3]]},
+        "B": {"protein": [[0, 1]]},
+    }
+    recs = annotate_interfaces(structures, multi, sel_tags=["Active site"])
+    assert len(recs) == 5
+    r0 = [r for r in recs if r["itype"] == "protein" and r["uniprot"] == "A"][0]
+    assert r0["mpi"] == pytest.approx(0.9)
+    assert r0["notes"] == "Active site"
+
+    counts = interface_type_counts(recs)
+    assert counts["A"] == {"protein": 2, "ion": 1, "protein+ion": 1}
+    co = cointerface_statistics(counts)
+    # A has a joint protein+ion interface AND separate protein (2>1) and
+    # ion (1>1 false) -> joint=1, separate-beyond-joint=0
+    assert co["protein+ion"] == 1.0
+    assert co["protein|ion"] == 0.0
+    # pair with no joint itype: dna/rna never present
+    assert co["protein+dna/rna"] == 0.0
