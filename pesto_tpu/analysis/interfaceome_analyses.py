@@ -261,3 +261,63 @@ def cointerface_statistics(itype_counts: dict) -> Dict[str, float]:
             out[joint_k] = float(joint)
             out[sep_k] = float(sep)
     return out
+
+
+# DSSP code -> coarse class (analysis_structure_regions.ipynb)
+SS_CLASS = {
+    "H": "helix", "G": "helix", "I": "helix",
+    "B": "strand", "E": "strand",
+    "T": "coil", "S": "coil", " ": "coil", "": "coil", "-": "coil",
+}
+
+
+def per_residue_interface_ratios(
+    data: dict, key: str, afs_thr: float = 70.0, p_thr: float = 0.8,
+    key_map: dict = None, split_notes: bool = False,
+) -> List[Dict[str, float]]:
+    """Fraction of residues of each category predicted as interface, per
+    class (analysis_structure_regions.ipynb: key='resname' for amino-acid
+    propensities, key='ss' with key_map=SS_CLASS for secondary structure,
+    key='annotation' with split_notes=True for UniProt feature tags).
+    Residues below the AlphaFold-confidence threshold (entry['afs']) are
+    excluded when present. Returns [ {category: ratio} per class i ]."""
+    p_dict: Dict[str, list] = {}
+    for entry in data.values():
+        vals = np.asarray(entry[key])
+        afs = np.asarray(entry.get("afs", np.full(len(vals), np.inf)))
+        probs = np.stack([np.asarray(entry[f"p{j}"]) for j in range(5)], axis=1)
+        for i in range(len(vals)):
+            if afs[i] <= afs_thr:
+                continue
+            cats = str(vals[i]).split(":") if split_notes else [str(vals[i])]
+            for cat in cats:
+                if key_map is not None:
+                    cat = key_map.get(cat, cat)
+                p_dict.setdefault(cat, []).append(probs[i])
+    out = []
+    for i in range(5):
+        out.append(
+            {cat: float(np.mean(np.asarray(pl)[:, i] > p_thr)) for cat, pl in p_dict.items()}
+        )
+    return out
+
+
+def interface_sasa_statistics(
+    sasa_dict: Dict[str, np.ndarray], multi_interfaces: dict
+) -> Tuple[Dict[str, list], Dict[str, list]]:
+    """Per-interface-type SASA sums and per-protein-relative sizes
+    (analysis_sasa.ipynb): sasa_dict maps uniprot -> per-residue SASA.
+    Returns (absolute surfaces, relative surfaces) keyed by itype."""
+    surfaces: Dict[str, list] = {}
+    relative: Dict[str, list] = {}
+    for uniprot, per_itype in multi_interfaces.items():
+        if uniprot not in sasa_dict:
+            continue
+        sasa = np.asarray(sasa_dict[uniprot], dtype=np.float64)
+        total = float(np.sum(sasa))
+        for itype, int_l in per_itype.items():
+            for ids in int_l:
+                s = float(np.sum(sasa[np.asarray(ids, dtype=int)]))
+                surfaces.setdefault(itype, []).append(s)
+                relative.setdefault(itype, []).append(s / max(total, 1e-12))
+    return surfaces, relative

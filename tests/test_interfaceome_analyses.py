@@ -123,3 +123,41 @@ def test_annotate_and_cointerfaces():
     assert co["protein|ion"] == 0.0
     # pair with no joint itype: dna/rna never present
     assert co["protein+dna/rna"] == 0.0
+
+
+def test_per_residue_ratios_and_sasa():
+    from pesto_tpu.analysis.interfaceome_analyses import (
+        SS_CLASS,
+        interface_sasa_statistics,
+        per_residue_interface_ratios,
+    )
+
+    entry = {
+        "resname": np.array(["ALA", "ALA", "GLY", "GLY"]),
+        "ss": np.array(["H", "E", "T", "H"]),
+        "afs": np.array([90.0, 90.0, 90.0, 50.0]),  # last residue excluded
+        "annotation": np.array(["Active site:Site", "", "Site", ""]),
+    }
+    for j in range(5):
+        entry[f"p{j}"] = np.array([0.9, 0.1, 0.9, 0.9]) if j == 0 else np.zeros(4)
+    data = {"A": entry}
+
+    r = per_residue_interface_ratios(data, "resname", p_thr=0.8)
+    assert r[0]["ALA"] == pytest.approx(0.5)   # one of two confident ALA
+    assert r[0]["GLY"] == pytest.approx(1.0)   # 4th residue dropped by afs
+    assert r[1]["ALA"] == 0.0
+
+    rs = per_residue_interface_ratios(data, "ss", key_map=SS_CLASS)
+    assert rs[0]["helix"] == pytest.approx(1.0)
+    assert rs[0]["strand"] == pytest.approx(0.0)
+    assert rs[0]["coil"] == pytest.approx(1.0)
+
+    ra = per_residue_interface_ratios(data, "annotation", split_notes=True)
+    assert ra[0]["Active site"] == pytest.approx(1.0)
+    assert ra[0]["Site"] == pytest.approx(1.0)  # residues 0 and 2, both hits
+
+    sasa = {"A": np.array([10.0, 20.0, 30.0, 40.0])}
+    multi = {"A": {"protein": [[0, 1]], "ion": [[2]]}}
+    surf, rel = interface_sasa_statistics(sasa, multi)
+    assert surf["protein"] == [pytest.approx(30.0)]
+    assert rel["ion"] == [pytest.approx(30.0 / 100.0)]
