@@ -16,6 +16,9 @@ def main(argv=None):
     parser.add_argument("--r-thr", type=float, default=5.0)
     parser.add_argument("--max-atoms", type=int, default=8192)
     parser.add_argument("--max-num-nn", type=int, default=64)
+    parser.add_argument("--num-workers", type=int, default=8,
+                        help="parse/encode worker processes (reference "
+                             "builds with 16, processing/build_dataset.py:179)")
     args = parser.parse_args(argv)
 
     from ..data.build import build_dataset_h5
@@ -33,6 +36,7 @@ def main(argv=None):
             "max_num_nn": args.max_num_nn,
         },
         progress=True,
+        num_workers=args.num_workers,
     )
     print(f"wrote {n} subunit entries to {args.out}")
 
