@@ -20,7 +20,8 @@ def collect_pdbs(inputs):
     paths = []
     for inp in inputs:
         if os.path.isdir(inp):
-            for pat in ("*.pdb", "*.pdb[0-9]*", "*.pdb.gz", "*.pdb[0-9]*.gz"):
+            for pat in ("*.pdb", "*.pdb[0-9]*", "*.pdb.gz", "*.pdb[0-9]*.gz",
+                        "*.cif", "*.cif.gz", "*.mmcif", "*.mmcif.gz"):
                 paths.extend(glob.glob(os.path.join(inp, pat)))
         else:
             paths.extend(glob.glob(inp))
@@ -47,7 +48,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..infer import Predictor
-    from ..io import read_pdb, save_pdb
+    from ..io import read_structure, save_pdb
     from ..models import get_config
     from ..structure import (
         concatenate_chains,
@@ -94,7 +95,7 @@ def main(argv=None):
     structures, keep_paths = [], []
     for path in paths:
         try:
-            subunits = preprocess_structure(read_pdb(path))
+            subunits = preprocess_structure(read_structure(path))
             structures.append(concatenate_chains(subunits))
             keep_paths.append(path)
         except Exception as e:

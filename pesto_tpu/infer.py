@@ -123,14 +123,17 @@ class Predictor:
         return self.probabilities(ps)[:nr]
 
     def predict_pdb_file(self, path: str) -> Tuple[dict, np.ndarray]:
-        """Raw PDB file -> (preprocessed merged structure, [n_res, C] probs).
+        """Raw PDB or mmCIF file -> (preprocessed merged structure,
+        [n_res, C] probs).
 
         Mirrors the reference inference chain (apply_model.ipynb cell 6):
         read -> clean -> tag -> split -> filter -> dedup -> concat -> model.
+        mmCIF input is a capability beyond the reference (which reads only
+        legacy PDB, src/structure_io.py).
         """
-        from .io import read_pdb
+        from .io import read_structure
 
-        subunits = preprocess_structure(read_pdb(path))
+        subunits = preprocess_structure(read_structure(path))
         structure = concatenate_chains(subunits)
         return structure, self.predict_structure(structure)
 
