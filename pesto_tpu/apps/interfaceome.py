@@ -75,6 +75,11 @@ def cmd_aggregate(args):
     from ..structure import clean_structure
 
     store = StructuresStore(args.store)
+    features = None
+    if getattr(args, "features_csv", None):
+        import pandas as pd
+
+        features = pd.read_csv(args.features_csv)
     with h5py.File(args.pred, "r") as hp, h5py.File(args.out, "w") as ho:
         for key in hp.keys():
             p = np.array(hp[key])
@@ -96,9 +101,35 @@ def cmd_aggregate(args):
                 xyz_ca[i] = structure["xyz"][m][0]
                 if bf_by_atom is not None:
                     afs[i] = float(np.asarray(bf_by_atom)[: len(resids)][m][0])
+            # per-residue identity + P-SEA secondary structure (the
+            # reference also stores resid/resname/ss/annotation,
+            # interfaceome/aggregate_data.py:59-86)
+            resnames = np.array(
+                [structure["resname"][resids == rid][0] for rid in ures]
+            )
+            from ..analysis.secondary_structure import assign_secondary_structure_ca
+
+            ss = assign_secondary_structure_ca(xyz_ca)
+
+            annotation = None
+            if features is not None:
+                name = key.split("/")[-2] if "/" in key else key
+                dfs = features[features["NAME"] == name]
+                notes = [[] for _ in range(len(ures))]
+                for _, row in dfs.iterrows():
+                    region = np.arange(int(row["START"]), int(row["END"]) + 1)
+                    for k in np.where(np.isin(ures, region))[0]:
+                        notes[k].append(str(row["TYPE"]))
+                annotation = np.array([":".join(n) for n in notes])
+
             g = ho.create_group(key)
             g["x"], g["y"], g["z"] = xyz_ca[:, 0], xyz_ca[:, 1], xyz_ca[:, 2]
             g["afs"] = afs
+            g["resid"] = ures.astype(np.int32)
+            g["resname"] = resnames.astype(np.bytes_)
+            g["ss"] = ss.astype(np.bytes_)
+            if annotation is not None:
+                g["annotation"] = annotation.astype(np.bytes_)
             for c in range(p.shape[1]):
                 g[f"p{c}"] = p[:, c]
     print(f"aggregated -> {args.out}")
@@ -121,6 +152,66 @@ def cmd_cluster(args):
     print(f"clustered {len(out)} entries -> {args.out}")
 
 
+def cmd_analyze(args):
+    """Downstream analyses over an aggregated store + clustered interfaces
+    (the interfaceome notebooks as one command): coverage, per-residue /
+    secondary-structure / annotation interface propensities, optional tag
+    enrichment. Writes one JSON report."""
+    import h5py
+
+    from ..analysis.interfaceome_analyses import (
+        SS_CLASS,
+        aggregate_interfaces_tags,
+        interface_coverage,
+        per_residue_interface_ratios,
+        tag_enrichment,
+    )
+
+    data = {}
+    with h5py.File(args.agg, "r") as hf:
+        for key in hf.keys():
+            entry = {}
+            for k in hf[key].keys():
+                v = np.array(hf[key][k])
+                entry[k] = v.astype("U") if v.dtype.kind == "S" else v
+            data[key] = entry
+    interfaces = json.load(open(args.interfaces))
+
+    report = {}
+    # coverage needs the per-itype dict form; the cluster JSON stores a
+    # per-class list — adapt
+    multi = {
+        u: {f"class{i}": ints for i, ints in enumerate(l)} for u, l in interfaces.items()
+    }
+    cov = interface_coverage(data, multi)
+    if len(cov):
+        r = cov[:, 0] / np.maximum(cov[:, 1], 1)
+        report["coverage"] = {"mean": float(r.mean()), "std": float(r.std()), "n": int(len(r))}
+
+    report["residue_propensity"] = per_residue_interface_ratios(
+        data, "resname", p_thr=args.p_thr
+    )
+    if all("ss" in e for e in data.values()):
+        report["ss_propensity"] = per_residue_interface_ratios(
+            data, "ss", p_thr=args.p_thr, key_map=SS_CLASS
+        )
+    if all("annotation" in e for e in data.values()) and data:
+        report["annotation_propensity"] = per_residue_interface_ratios(
+            data, "annotation", p_thr=args.p_thr, split_notes=True
+        )
+    if args.tags_json:
+        tags = json.load(open(args.tags_json))
+        mp, counts = aggregate_interfaces_tags(data, tags, interfaces)
+        H, sel = tag_enrichment(mp, counts, p_thr=args.p_thr)
+        report["tag_enrichment"] = {
+            "tags": [str(t) for t in sel], "fractions": H.tolist()
+        }
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"analysis report -> {args.out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -141,7 +232,18 @@ def main(argv=None):
     p.add_argument("store")
     p.add_argument("pred")
     p.add_argument("--out", required=True)
+    p.add_argument("--features-csv", default=None,
+                   help="UniProt regions table (NAME,START,END,TYPE) for per-residue annotations")
     p.set_defaults(fn=cmd_aggregate)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("agg")
+    p.add_argument("interfaces", help="clustered interfaces JSON (from `cluster`)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--p-thr", type=float, default=0.8)
+    p.add_argument("--tags-json", default=None,
+                   help="optional {uniprot: [tags]} (e.g. subcellular locations / GO terms)")
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("cluster")
     p.add_argument("agg")

@@ -94,3 +94,16 @@ def test_interfaceome_pipeline(tmp_path):
     out = json.load(open(out_json))
     assert keys[0] in out
     assert len(out[keys[0]]) == 5  # per class
+
+    # aggregate now carries the reference field set (resid/resname/ss)
+    with h5py.File(agg_h5, "r") as hf:
+        g = hf[keys[0]]
+        assert "resid" in g and "resname" in g and "ss" in g
+
+    # downstream analyses over the aggregated store + clustered interfaces
+    report_json = str(tmp_path / "report.json")
+    interfaceome.main(["analyze", agg_h5, out_json, "--out", report_json, "--p-thr", "0.0"])
+    report = json.load(open(report_json))
+    assert "residue_propensity" in report and len(report["residue_propensity"]) == 5
+    assert "ss_propensity" in report
+    assert "coverage" in report
