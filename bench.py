@@ -4,10 +4,19 @@ throughput per chip, in atoms/sec.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "atoms/s", "vs_baseline": N}
 
+The headline is END-TO-END serving throughput in the production config
+(bfloat16 activations, one-hot MXU gather, exact kNN): host encode +
+Morton sort + on-device exact kNN + gather-table build + forward, for a
+batch of 8k-atom structures. Forward-only and fp32-exact numbers are in
+`detail` (the reference's profiling protocol times load/process/run
+stages separately, profiling.py:68-119).
+
 Baseline: the reference PyTorch implementation on this host's CPU
 (torch 2.13 eager, fp32, 32-layer config, 8191-atom structure took 224 s
--> 36.6 atoms/s, measured 2026-08-16; BASELINE.md targets >=20x CPU-torch
-per chip at unchanged AUC).
+-> 36.6 atoms/s end-to-end, measured 2026-08-16; BASELINE.md targets
+>=20x CPU-torch per chip at unchanged AUC). bf16 serving accuracy is
+validated on the full pdbs_test benchmark: median AUC 0.8931 vs 0.8920
+for fp32-exact (docs/VALIDATION.md).
 """
 
 import json
@@ -23,6 +32,43 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Timing protocol: the tunneled TPU runtime adds ~30-120 ms per DISPATCH
+# and ~73 MB/s host->device bandwidth, and block_until_ready returns
+# early — so iterations are chained INSIDE one jitted lax.scan through a
+# non-foldable data dependency (an output-derived ~1e-7 coordinate
+# perturbation), with ONE host readback at the end. device_put inputs
+# once; the readback cost (~35 ms) is subtracted via _SYNC_MS.
+_SYNC_MS = 0.035
+BENCH_ITERS = 10
+
+
+def bench_forward(pred, batch):
+    import jax
+    import jax.numpy as jnp
+
+    model, params = pred.model, pred.params
+    args = tuple(
+        jax.device_put(a) if a is not None else None
+        for a in (batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask,
+                  batch.gather_cand, batch.gather_loc)
+    )
+
+    def body(X, _):
+        z = model.apply({"params": params}, X, *args[1:])
+        eps = (z[..., 0, 0].astype(jnp.float32) % 3.0 - 1.0).sum() * 1e-7
+        return X + eps.astype(X.dtype), z[..., 0, 0]
+
+    f = jax.jit(lambda X: jax.lax.scan(body, X, None, length=BENCH_ITERS))
+    t0 = time.time()
+    X, zs = f(args[0])
+    _ = float(np.asarray(zs, dtype=np.float32).ravel()[0])
+    log(f"  forward compile+warmup {time.time()-t0:.1f}s")
+    t0 = time.perf_counter()
+    X, zs = f(args[0])
+    _ = float(np.asarray(zs, dtype=np.float32).ravel()[0])
+    return (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS
+
+
 def main():
     import jax
 
@@ -30,92 +76,146 @@ def main():
 
     enable_compilation_cache()
 
-    from pesto_tpu.batching import stack_batch
+    from pesto_tpu.batching import attach_gather_tables, pad_structure_arrays, stack_batch
     from pesto_tpu.infer import Predictor
     from pesto_tpu.models import get_config
     from pesto_tpu.models.pesto import init_params
-    from pesto_tpu.synthetic import random_padded_structure
-
-    cfg = get_config("i_v4_1", remat=False)
-    t0 = time.time()
-    params = jax.jit(lambda: init_params(cfg, na=256, nr=32))()
-    jax.block_until_ready(params)
-    log(f"init {time.time()-t0:.1f}s")
-    pred = Predictor(cfg, params)
+    from pesto_tpu.spatial import morton_order
+    from pesto_tpu.synthetic import random_structure_arrays
+    from pesto_tpu.topology import knn_topology
 
     n_atoms, n_res = 8191, 1024
     na, nr = 8192, 1024
+    B = 4
 
-    for batch_size in (4, 2, 1):
-        try:
-            t0 = time.time()
-            structures = [
-                random_padded_structure(
-                    n_atoms=n_atoms, n_res=n_res, na=na, nr=nr, seed=i
-                )
-                for i in range(batch_size)
-            ]
-            batch = stack_batch(structures)
-            log(f"B={batch_size}: encode+knn {time.time()-t0:.1f}s")
+    cfg32 = get_config("i_v4_1", remat=False)
+    cfg16 = cfg32.replace(dtype="bfloat16", precision="default")
+    t0 = time.time()
+    params = jax.jit(lambda: init_params(cfg32, na=256, nr=32))()
+    jax.block_until_ready(params)
+    log(f"init {time.time()-t0:.1f}s")
+    pred16 = Predictor(cfg16, params)
+    pred32 = Predictor(cfg32, params)
 
-            # chained-dependency timing: fold a scalar of each output back
-            # into the input so iterations serialize, and force ONE host
-            # sync at the end (block_until_ready is unreliable under the
-            # tunneled TPU runtime; a host readback costs ~27ms once)
-            import jax.numpy as jnp
+    # raw inputs (host numpy)
+    raw = [random_structure_arrays(n_atoms=n_atoms, n_res=n_res, seed=i) for i in range(B)]
 
-            model = pred.model
+    # --- end-to-end serving pipeline, timed per stage -------------------
+    # mirrors Predictor.predict_batch: threaded host encode, ONE batched
+    # (vmapped) kNN device call for the whole batch, threaded table builds
+    import dataclasses
+    import functools
+    from concurrent.futures import ThreadPoolExecutor
 
-            def step(params, X, ids, q, M, am):
-                z = model.apply({"params": params}, X, ids, q, M, am)
-                return X + jnp.sum(z) * 0.0, z
+    pool = ThreadPoolExecutor(8)
+    knn_batched = jax.jit(
+        jax.vmap(functools.partial(knn_topology, k=64), in_axes=(0, 0))
+    )
 
-            f = jax.jit(step)
-            t0 = time.time()
-            X, z = f(pred.params, batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask)
-            _ = float(z[0, 0, 0])
-            log(f"B={batch_size}: compile+warmup {time.time()-t0:.1f}s")
-            iters = 10
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                X, z = f(pred.params, X, batch.ids_topk, batch.q, batch.M, batch.atom_mask)
-            _ = float(z[0, 0, 0])
-            dt = (time.perf_counter() - t0 - 0.027) / iters
-            break
-        except Exception as e:  # OOM at this batch size -> back off
-            log(f"B={batch_size} failed: {type(e).__name__}: {str(e)[:200]}")
-            err = e
-            continue
-    else:
-        raise err
+    def host_encode(r):
+        X, q, M = r
+        perm = morton_order(X)
+        return pad_structure_arrays(X[perm], q[perm], M[perm], na=na, nr=nr)
 
-    atoms_per_sec = batch_size * n_atoms / dt
+    def encode_batch(raws):
+        items = list(pool.map(host_encode, raws))
+        Xb = np.stack([p.X for p in items])
+        ab = np.stack([p.atom_mask for p in items])
+        ids_b = np.asarray(knn_batched(jax.device_put(Xb), jax.device_put(ab))[0])
+        items = [dataclasses.replace(p, ids_topk=ids_b[j]) for j, p in enumerate(items)]
+        return list(pool.map(lambda p: attach_gather_tables(p, u_fixed=1024), items))
 
-    # training throughput (flagship, remat, Adam, dynamic pos_ratios):
-    # reference trains ~4.6-5.1 structures/s on a V100 (BASELINE.md)
+    def encode_one(r3):
+        return encode_batch([r3])[0]
+
+    # warm up knn compile out of band
+    _ = encode_one(raw[0])
+    # knn device time alone (in-program chained, per 8k-atom structure)
+    import jax.numpy as jnp
+
+    ps0 = pad_structure_arrays(raw[0][0], raw[0][1], raw[0][2], na=na, nr=nr)
+    Xd = jax.device_put(ps0.X)
+    amd = jax.device_put(ps0.atom_mask)
+
+    def knn_body(X, _):
+        ids = knn_topology(X, amd, k=64)[0]
+        eps = (ids[1, 1].astype(jnp.float32) % 3.0 - 1.0) * 1e-7
+        return X + eps, ids[1, 0]
+
+    kf = jax.jit(lambda X: jax.lax.scan(knn_body, X, None, length=BENCH_ITERS))
+    X1, o = kf(Xd)
+    _ = int(np.asarray(o[-1]))
+    t0 = time.perf_counter()
+    X1, o = kf(Xd)
+    _ = int(np.asarray(o[-1]))
+    knn_ms = (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS * 1e3
+    log(f"knn (exact, 8k atoms): {knn_ms:.1f} ms")
+
+    # encode stage (host: Morton sort + pad + gather tables), steady
+    # state: first pass pays numpy first-touch + device dispatch warmup,
+    # so measure the repeat
+    encoded = encode_batch(raw)
+    t0 = time.perf_counter()
+    encoded = encode_batch(raw)
+    t_encode = time.perf_counter() - t0 - _SYNC_MS  # one batched knn readback
+    t_encode = max(t_encode, B * knn_ms * 1e-3)
+    log(f"encode+knn+tables for B={B} (steady): {t_encode*1e3:.0f} ms")
+    batch = stack_batch(encoded)
+
+    # forward stage. fp32 runs WITHOUT gather tables (the production
+    # gating: one-hot MXU selection wins in bf16, but fp32-HIGHEST
+    # one-hot matmuls are 3-pass and lose badly to the row gather)
+    import dataclasses
+
+    dt16 = bench_forward(pred16, batch)
+    log(f"bf16 forward: {dt16*1e3:.0f} ms/batch")
+    batch32 = dataclasses.replace(batch, gather_cand=None, gather_loc=None)
+    dt32 = bench_forward(pred32, batch32)
+    log(f"fp32 forward: {dt32*1e3:.0f} ms/batch")
+
+    total_atoms = B * n_atoms
+    e2e = total_atoms / (t_encode + dt16)
+    fwd16 = total_atoms / dt16
+    fwd32 = total_atoms / dt32
+
+    # --- training throughput (flagship, production fast config) ---------
+    # bf16 compute + fp32 master weights, dots_nb remat, one-hot gather
+    # tables, donated state. Reference trains ~4.6-5.1 structures/s on a
+    # V100 (BASELINE.md).
     train_sps = None
     try:
+        from pesto_tpu.synthetic import random_padded_structure
         from pesto_tpu.train import create_train_state
         from pesto_tpu.train.step import build_train_step_fn
 
-        tcfg = get_config("i_v4_1", remat=True)
+        tcfg = get_config(
+            "i_v4_1", dtype="bfloat16", precision="default",
+            remat=True, remat_policy="dots_nb",
+        )
         tstate, tx = create_train_state(tcfg, learning_rate=1e-5)
-        tstep = jax.jit(build_train_step_fn(tcfg, tx), donate_argnums=(0,))
         tb = stack_batch(
             [
                 random_padded_structure(
-                    n_atoms=1000, n_res=126, na=1024, nr=128, seed=i, with_labels=True
+                    n_atoms=1000, n_res=126, na=1024, nr=128, seed=i,
+                    with_labels=True, with_gather_tables=True,
                 )
                 for i in range(16)
             ]
         )
-        s, out = tstep(tstate, tb)
-        _ = float(out["loss"])
+        tb = jax.device_put(tb)  # once; the step loop must time compute
+        raw_step = build_train_step_fn(tcfg, tx)
+
+        def train_body(state, _):
+            state, out = raw_step(state, tb)
+            return state, out["loss"]
+
+        tf = jax.jit(lambda s: jax.lax.scan(train_body, s, None, length=BENCH_ITERS))
+        s, losses = tf(tstate)
+        _ = float(losses[-1])
         t0 = time.perf_counter()
-        for _ in range(10):
-            s, out = tstep(s, tb)
-        _ = float(out["loss"])
-        tdt = (time.perf_counter() - t0 - 0.027) / 10
+        s, losses = tf(s)
+        _ = float(losses[-1])
+        tdt = (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS
         train_sps = 16 / tdt
         log(f"train: {tdt:.3f}s/step = {train_sps:.1f} structures/s")
     except Exception as e:
@@ -124,15 +224,19 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "i_v4_1_inference_atoms_per_sec_per_chip",
-                "value": round(atoms_per_sec, 1),
+                "metric": "i_v4_1_e2e_inference_atoms_per_sec_per_chip",
+                "value": round(e2e, 1),
                 "unit": "atoms/s",
-                "vs_baseline": round(atoms_per_sec / BASELINE_ATOMS_PER_SEC, 2),
+                "vs_baseline": round(e2e / BASELINE_ATOMS_PER_SEC, 2),
                 "detail": {
-                    "batch_size": batch_size,
+                    "batch_size": B,
                     "atoms": n_atoms,
-                    "layers": len(cfg.layers),
-                    "sec_per_batch": round(dt, 4),
+                    "layers": len(cfg16.layers),
+                    "e2e_sec_per_batch": round(t_encode + dt16, 4),
+                    "forward_atoms_per_sec_bf16": round(fwd16, 1),
+                    "forward_atoms_per_sec_fp32_exact": round(fwd32, 1),
+                    "knn_ms_8k_exact": round(knn_ms, 1),
+                    "encode_knn_tables_ms_batch": round(t_encode * 1e3, 1),
                     "train_structures_per_sec": round(train_sps, 2) if train_sps else None,
                     "train_vs_v100_baseline": round(train_sps / 5.0, 2) if train_sps else None,
                     "device": str(jax.devices()[0]),

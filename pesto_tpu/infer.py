@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .batching import PaddedStructure, encode_and_pad, stack_batch
+from .batching import PaddedStructure, attach_gather_tables, encode_and_pad, stack_batch
 from .models import PestoConfig, PestoModel
 from .port import load_reference_checkpoint
 from .structure import concatenate_chains, preprocess_structure
@@ -137,30 +137,87 @@ class Predictor:
         structure = concatenate_chains(subunits)
         return structure, self.predict_structure(structure)
 
-    def predict_batch(self, structures: list, atoms_per_call: int = 32768) -> list:
+    def predict_batch(
+        self, structures: list, atoms_per_call: int = 32768, num_threads: int = 8
+    ) -> list:
         """Predict a list of structure records, grouping into per-bucket
         batches for throughput (batch size capped by an atom budget per
-        device call). Returns a list of [n_res_i, C] arrays."""
-        encoded = []
-        for i, s in enumerate(structures):
-            ps = encode_and_pad(
-                s, feature_flags=self.cfg.feature_flags, knn_method=self.knn_method,
-                with_gather_tables=self.use_gather_tables,
+        device call). Returns a list of [n_res_i, C] arrays.
+
+        Pipelined: host encode (Morton sort + pad) runs in a thread pool,
+        the kNN topology for a whole bucket batch runs as ONE batched
+        device call (vmapped), and gather-table builds are threaded — the
+        serial per-structure encode+knn chain was the end-to-end
+        bottleneck once the forward went bf16 (measured ~70 ms/structure
+        serial vs ~280 ms forward for a whole 4x8k batch)."""
+        import dataclasses
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        from .topology import knn_topology
+
+        pool = ThreadPoolExecutor(num_threads)
+        try:
+            encoded = list(
+                pool.map(
+                    lambda s: encode_and_pad(
+                        s, feature_flags=self.cfg.feature_flags,
+                        with_topology=False,
+                        spatial_sort=self.use_gather_tables,
+                    ),
+                    structures,
+                )
             )
-            encoded.append((i, ps))
-        buckets: Dict[tuple, list] = {}
-        for i, ps in encoded:
-            buckets.setdefault((ps.X.shape[0], ps.M.shape[1]), []).append((i, ps))
-        out = [None] * len(structures)
-        for (na, _), group in buckets.items():
-            bmax = max(1, atoms_per_call // na)
-            for k in range(0, len(group), bmax):
-                chunk = group[k : k + bmax]
-                batch = stack_batch([ps for _, ps in chunk]) if len(chunk) > 1 else chunk[0][1]
-                probs = self.probabilities(batch)
-                if len(chunk) == 1:
-                    probs = probs[None]
-                for (i, ps), pb in zip(chunk, probs):
-                    nr = int(np.sum(np.asarray(ps.res_mask)))
-                    out[i] = pb[:nr]
-        return out
+            buckets: Dict[tuple, list] = {}
+            for i, ps in enumerate(encoded):
+                buckets.setdefault((ps.X.shape[0], ps.M.shape[1]), []).append((i, ps))
+            out = [None] * len(structures)
+            for (na, _), group in buckets.items():
+                bmax = max(1, atoms_per_call // na)
+                for k in range(0, len(group), bmax):
+                    chunk = group[k : k + bmax]
+                    # ONE batched kNN call for the whole chunk
+                    Xb = np.stack([ps.X for _, ps in chunk])
+                    ab = np.stack([ps.atom_mask for _, ps in chunk])
+                    ids_b = np.asarray(
+                        self._batched_knn(jax.device_put(Xb), jax.device_put(ab))
+                    )
+                    items = [
+                        dataclasses.replace(ps, ids_topk=ids_b[j])
+                        for j, (_, ps) in enumerate(chunk)
+                    ]
+                    if self.use_gather_tables:
+                        items = list(
+                            pool.map(lambda p: attach_gather_tables(p, u_fixed=1024), items)
+                        )
+                    batch = stack_batch(items) if len(items) > 1 else items[0]
+                    probs = self.probabilities(batch)
+                    if len(items) == 1:
+                        probs = probs[None]
+                    for (i, _), ps, pb in zip(chunk, items, probs):
+                        nr = int(np.sum(np.asarray(ps.res_mask)))
+                        out[i] = pb[:nr]
+            return out
+        finally:
+            pool.shutdown(wait=False)
+
+    def _batched_knn(self, Xb, ab):
+        """Vmapped kNN over a stacked bucket batch (one compiled call)."""
+        import functools
+
+        import jax
+
+        if not hasattr(self, "_knn_jit"):
+            self._knn_jit = {}
+        key = (Xb.shape[1], self.knn_method)
+        if key not in self._knn_jit:
+            from .topology import knn_topology
+
+            self._knn_jit[key] = jax.jit(
+                jax.vmap(
+                    functools.partial(knn_topology, k=64, method=self.knn_method),
+                    in_axes=(0, 0),
+                )
+            )
+        return self._knn_jit[key](Xb, ab)[0]
