@@ -321,3 +321,110 @@ def interface_sasa_statistics(
                 surfaces.setdefault(itype, []).append(s)
                 relative.setdefault(itype, []).append(s / max(total, 1e-12))
     return surfaces, relative
+
+
+def curate_feature_interface_table(
+    structures: dict,
+    interfaces_flat: Dict[str, list],
+    features_dict: Dict[str, list],
+) -> list:
+    """Join UniProt features with predicted interfaces
+    (curated_interfaces_with_uniprot_features.ipynb cell 4): one record
+    per (feature, overlapping interface) — or one no-overlap record with
+    itype='' and mpi=-1 — with the feature<->interface overlap size and
+    mean prediction/confidence over the overlap.
+
+    interfaces_flat: {uniprot: [{"iid", "itype", "iids"}]} (single-type
+    interfaces); features_dict: {uniprot: [{"ftype", "pos" (1-based int
+    or (start, end)), "desc"}]}. Produces the table analysis_clinvar.ipynb
+    consumes (columns ftype/mpi/itype/desc)."""
+    label_ids = {k: i for i, k in enumerate(INTERFACE_LABELS)}
+    rows = []
+    fid = -1
+    for uniprot, entry in structures.items():
+        if uniprot not in interfaces_flat or uniprot not in features_dict:
+            continue
+        afs = np.asarray(entry.get("afs", np.full(len(entry["p0"]), np.nan)))
+        for ftr in features_dict[uniprot]:
+            fid += 1
+            pos = ftr["pos"]
+            fids = (
+                np.arange(pos - 1, pos) if isinstance(pos, int)
+                else np.arange(pos[0] - 1, pos[1])
+            )
+            base = {
+                "uniprot": uniprot, "fid": fid, "ftype": ftr["ftype"],
+                "pos": pos, "Nf": len(fids), "desc": ftr.get("desc", ""),
+            }
+            if afs.shape[0] <= fids[-1]:  # feature beyond the model
+                rows.append({**base, "iid": -1, "itype": "", "Ni": 0,
+                             "Nc": 0, "mafs": -1.0, "mpi": -1.0})
+                continue
+            overlapped = False
+            for interface in interfaces_flat[uniprot]:
+                cids = np.intersect1d(np.asarray(interface["iids"], dtype=int), fids)
+                if len(cids) == 0:
+                    continue
+                overlapped = True
+                p = np.asarray(entry[f"p{label_ids[interface['itype']]}"])
+                rows.append({
+                    **base, "iid": interface["iid"], "itype": interface["itype"],
+                    "Ni": len(interface["iids"]), "Nc": len(cids),
+                    "mafs": float(np.mean(afs[cids])), "mpi": float(np.mean(p[cids])),
+                })
+            if not overlapped:
+                rows.append({**base, "iid": -1, "itype": "", "Ni": 0, "Nc": 0,
+                             "mafs": float(np.mean(afs[fids])), "mpi": -1.0})
+    return rows
+
+
+def flatten_single_type_interfaces(multi_interfaces: dict) -> Dict[str, list]:
+    """{uniprot: {itype: [iids]}} -> {uniprot: [{"iid","itype","iids"}]},
+    single-type interfaces only, with globally unique iids (nb cell 3)."""
+    out: Dict[str, list] = {}
+    k = -1
+    for uniprot, per_itype in multi_interfaces.items():
+        out[uniprot] = []
+        for itype, int_l in per_itype.items():
+            if "+" in itype:
+                continue
+            for iids in int_l:
+                k += 1
+                out[uniprot].append({"iid": k, "itype": itype, "iids": list(iids)})
+    return out
+
+
+def alphafold_model_metrics(
+    afs: np.ndarray, pae: np.ndarray, afs_thr: float = 70.0
+) -> Dict[str, float]:
+    """Whole-model AlphaFold quality metrics used for model selection
+    (selecting_alphafold_models.ipynb): structured-region relative size
+    and mean PAE within/over the structured region."""
+    afs = np.asarray(afs, dtype=np.float32)
+    pae = np.asarray(pae, dtype=np.float32)
+    m = afs > afs_thr
+    out = {
+        "size": int(afs.shape[0]),
+        "mafs": float(np.mean(afs)),
+        "s_size": int(m.sum()),
+        "r_size": float(m.mean()),
+        "mPAE": float(np.mean(pae)),
+    }
+    out["s_mPAE"] = float(np.mean(pae[m][:, m])) if m.any() else float("nan")
+    return out
+
+
+def select_alphafold_models(
+    metrics: Sequence[Dict[str, float]],
+    min_ratio_size: float = 0.7,
+    max_mean_pae: float = 10.0,
+) -> np.ndarray:
+    """Selection mask over per-model metrics (nb final criterion: mostly
+    structured AND confident inter-residue geometry)."""
+    return np.array(
+        [
+            (m["r_size"] > min_ratio_size) and (m["s_mPAE"] < max_mean_pae)
+            for m in metrics
+        ],
+        dtype=bool,
+    )

@@ -161,3 +161,40 @@ def test_per_residue_ratios_and_sasa():
     surf, rel = interface_sasa_statistics(sasa, multi)
     assert surf["protein"] == [pytest.approx(30.0)]
     assert rel["ion"] == [pytest.approx(30.0 / 100.0)]
+
+
+def test_curated_feature_table_and_af_selection():
+    from pesto_tpu.analysis.interfaceome_analyses import (
+        alphafold_model_metrics,
+        curate_feature_interface_table,
+        flatten_single_type_interfaces,
+        select_alphafold_models,
+    )
+
+    structures = _structures()
+    structures["A"]["afs"] = np.full(10, 90.0)
+    multi = {"A": {"protein": [[0, 1, 2]], "protein+ion": [[5, 6]]}}
+    flat = flatten_single_type_interfaces(multi)
+    assert flat["A"] == [{"iid": 0, "itype": "protein", "iids": [0, 1, 2]}]
+
+    features = {
+        "A": [
+            {"ftype": "mutagenesis site", "pos": 2, "desc": "d1"},      # residue idx 1
+            {"ftype": "mutagenesis site", "pos": (8, 9), "desc": "d2"}, # idx 7-8, no overlap
+            {"ftype": "sequence variant", "pos": 99, "desc": "d3"},     # beyond model
+        ]
+    }
+    rows = curate_feature_interface_table(structures, flat, features)
+    assert len(rows) == 3
+    assert rows[0]["itype"] == "protein" and rows[0]["mpi"] == pytest.approx(0.9)
+    assert rows[0]["Nc"] == 1 and rows[0]["Ni"] == 3
+    assert rows[1]["itype"] == "" and rows[1]["mpi"] == -1.0
+    assert rows[2]["itype"] == "" and rows[2]["mafs"] == -1.0
+
+    afs = np.array([90.0] * 8 + [10.0] * 2)
+    pae = np.full((10, 10), 5.0)
+    m = alphafold_model_metrics(afs, pae)
+    assert m["r_size"] == pytest.approx(0.8)
+    assert m["s_mPAE"] == pytest.approx(5.0)
+    sel = select_alphafold_models([m, {**m, "s_mPAE": 20.0}, {**m, "r_size": 0.5}])
+    assert sel.tolist() == [True, False, False]
