@@ -5,8 +5,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "atoms/s", "vs_baseline": N}
 
 The headline is END-TO-END serving throughput in the production config
-(bfloat16 activations, one-hot MXU gather, exact kNN): host encode +
-Morton sort + on-device exact kNN + gather-table build + forward, for a
+(bfloat16 activations, exact kNN, device-resident ids): host encode +
+Morton sort + one batched on-device exact kNN + forward, for a
 batch of 8k-atom structures. Forward-only and fp32-exact numbers are in
 `detail` (the reference's profiling protocol times load/process/run
 stages separately, profiling.py:68-119).
@@ -102,7 +102,9 @@ def main():
 
     # --- end-to-end serving pipeline, timed per stage -------------------
     # mirrors Predictor.predict_batch: threaded host encode, ONE batched
-    # (vmapped) kNN device call for the whole batch, threaded table builds
+    # (vmapped) kNN device call for the whole batch, ids kept ON DEVICE
+    # (gather tables are a training-path optimization; serving would pay
+    # an ids host round trip to build them for a ~0.4 ms/layer gain)
     import dataclasses
     import functools
     from concurrent.futures import ThreadPoolExecutor
@@ -121,15 +123,13 @@ def main():
         items = list(pool.map(host_encode, raws))
         Xb = np.stack([p.X for p in items])
         ab = np.stack([p.atom_mask for p in items])
-        ids_b = np.asarray(knn_batched(jax.device_put(Xb), jax.device_put(ab))[0])
-        items = [dataclasses.replace(p, ids_topk=ids_b[j]) for j, p in enumerate(items)]
-        return list(pool.map(lambda p: attach_gather_tables(p, u_fixed=1024), items))
+        ids_b = knn_batched(jax.device_put(Xb), jax.device_put(ab))[0]
+        batch = stack_batch(items)
+        batch = dataclasses.replace(batch, ids_topk=ids_b)
+        # one scalar readback stands in for the step's dispatch sync
+        _ = int(np.asarray(ids_b[0, 1, 0]))
+        return batch
 
-    def encode_one(r3):
-        return encode_batch([r3])[0]
-
-    # warm up knn compile out of band
-    _ = encode_one(raw[0])
     # knn device time alone (in-program chained, per 8k-atom structure)
     import jax.numpy as jnp
 
@@ -154,13 +154,12 @@ def main():
     # encode stage (host: Morton sort + pad + gather tables), steady
     # state: first pass pays numpy first-touch + device dispatch warmup,
     # so measure the repeat
-    encoded = encode_batch(raw)
+    batch = encode_batch(raw)
     t0 = time.perf_counter()
-    encoded = encode_batch(raw)
-    t_encode = time.perf_counter() - t0 - _SYNC_MS  # one batched knn readback
+    batch = encode_batch(raw)
+    t_encode = time.perf_counter() - t0 - _SYNC_MS
     t_encode = max(t_encode, B * knn_ms * 1e-3)
-    log(f"encode+knn+tables for B={B} (steady): {t_encode*1e3:.0f} ms")
-    batch = stack_batch(encoded)
+    log(f"encode+knn for B={B} (steady): {t_encode*1e3:.0f} ms")
 
     # forward stage. fp32 runs WITHOUT gather tables (the production
     # gating: one-hot MXU selection wins in bf16, but fp32-HIGHEST
@@ -169,8 +168,7 @@ def main():
 
     dt16 = bench_forward(pred16, batch)
     log(f"bf16 forward: {dt16*1e3:.0f} ms/batch")
-    batch32 = dataclasses.replace(batch, gather_cand=None, gather_loc=None)
-    dt32 = bench_forward(pred32, batch32)
+    dt32 = bench_forward(pred32, batch)
     log(f"fp32 forward: {dt32*1e3:.0f} ms/batch")
 
     total_atoms = B * n_atoms
@@ -236,7 +234,7 @@ def main():
                     "forward_atoms_per_sec_bf16": round(fwd16, 1),
                     "forward_atoms_per_sec_fp32_exact": round(fwd32, 1),
                     "knn_ms_8k_exact": round(knn_ms, 1),
-                    "encode_knn_tables_ms_batch": round(t_encode * 1e3, 1),
+                    "encode_knn_ms_batch": round(t_encode * 1e3, 1),
                     "train_structures_per_sec": round(train_sps, 2) if train_sps else None,
                     "train_vs_v100_baseline": round(train_sps / 5.0, 2) if train_sps else None,
                     "device": str(jax.devices()[0]),

@@ -27,11 +27,14 @@ class Predictor:
         self.model = PestoModel(cfg)
         self.params = params
         self.knn_method = knn_method  # "fast": approx kNN, far-tail swaps only
-        # one-hot MXU gather wins over the row-gather in bf16 (tables ride
-        # a Morton-sorted layout built host-side at encode time)
-        self.use_gather_tables = cfg.gather == "onehot" or (
-            cfg.gather == "auto" and cfg.dtype == "bfloat16"
-        )
+        # one-hot MXU gather tables: built only when explicitly requested.
+        # In bf16 they save ~0.4 ms/layer over the row gather, but SERVING
+        # must round-trip the kNN ids to the host to build them (8 MB per
+        # 4x8k batch) plus per-structure host work — keeping ids on device
+        # and using the row gather wins end to end. Training (tables built
+        # once per item by loader worker processes) keeps them via
+        # TrainConfig.gather_tables.
+        self.use_gather_tables = cfg.gather == "onehot"
         self._single = jax.jit(self._apply)
         # batches flatten into the atom axis inside the model (faster than
         # vmap on TPU); same jitted entry point handles both ranks
@@ -177,25 +180,32 @@ class Predictor:
                 bmax = max(1, atoms_per_call // na)
                 for k in range(0, len(group), bmax):
                     chunk = group[k : k + bmax]
-                    # ONE batched kNN call for the whole chunk
+                    # ONE batched kNN call for the whole chunk; ids stay
+                    # ON DEVICE (no host round trip) unless tables are
+                    # explicitly requested
                     Xb = np.stack([ps.X for _, ps in chunk])
                     ab = np.stack([ps.atom_mask for _, ps in chunk])
-                    ids_b = np.asarray(
-                        self._batched_knn(jax.device_put(Xb), jax.device_put(ab))
-                    )
-                    items = [
-                        dataclasses.replace(ps, ids_topk=ids_b[j])
-                        for j, (_, ps) in enumerate(chunk)
-                    ]
+                    ids_b = self._batched_knn(jax.device_put(Xb), jax.device_put(ab))
                     if self.use_gather_tables:
+                        ids_host = np.asarray(ids_b)
+                        items = [
+                            dataclasses.replace(ps, ids_topk=ids_host[j])
+                            for j, (_, ps) in enumerate(chunk)
+                        ]
                         items = list(
                             pool.map(lambda p: attach_gather_tables(p, u_fixed=1024), items)
                         )
-                    batch = stack_batch(items) if len(items) > 1 else items[0]
+                        batch = stack_batch(items) if len(items) > 1 else items[0]
+                    else:
+                        items = [ps for _, ps in chunk]
+                        batch = stack_batch(items) if len(items) > 1 else items[0]
+                        batch = dataclasses.replace(
+                            batch, ids_topk=ids_b if len(items) > 1 else ids_b[0]
+                        )
                     probs = self.probabilities(batch)
                     if len(items) == 1:
                         probs = probs[None]
-                    for (i, _), ps, pb in zip(chunk, items, probs):
+                    for (i, ps), pb in zip(chunk, probs):
                         nr = int(np.sum(np.asarray(ps.res_mask)))
                         out[i] = pb[:nr]
             return out

@@ -43,7 +43,7 @@ def read_mmcif(path: str) -> Dict[str, np.ndarray]:
     chain names "{chain}:{model_index}" like read_pdb's MODEL handling.
     """
     atom_xyz, atom_name, atom_element = [], [], []
-    residue_name, seq_id, het_flag, chain_name, icodes = [], [], [], [], []
+    residue_name, seq_id, het_flag, chain_name, icodes, bfactors = [], [], [], [], [], []
     altloc_seen = set()
     model_ids: Dict[str, int] = {}
 
@@ -98,7 +98,13 @@ def read_mmcif(path: str) -> Dict[str, np.ndarray]:
                     model_ids[model] = len(model_ids)
                 mid = model_ids[model]
 
+                try:
+                    bfac = float(_pick(row, cols, "B_iso_or_equiv", default="0"))
+                except ValueError:
+                    bfac = 0.0
+
                 element = _pick(row, cols, "type_symbol").capitalize()
+                bfactors.append(bfac)
                 atom_name.append(name)
                 atom_xyz.append((x, y, z))
                 residue_name.append(resname)
@@ -120,6 +126,7 @@ def read_mmcif(path: str) -> Dict[str, np.ndarray]:
         "het_flag": np.array(het_flag),
         "chain_name": np.array(chain_name),
         "icode": np.array(icodes),
+        "bfactor": np.array(bfactors, dtype=np.float32),
     }
 
 

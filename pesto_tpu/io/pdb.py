@@ -96,6 +96,7 @@ def read_pdb(pdb_filepath: str) -> dict:
 def _read_pdb_python(pdb_filepath: str) -> dict:
     atom_element, atom_name, atom_xyz = [], [], []
     residue_name, seq_id, het_flag, chain_name, icodes = [], [], [], [], []
+    bfactors = []
 
     altloc_seen = set()
     mid = 0
@@ -136,6 +137,10 @@ def _read_pdb_python(pdb_filepath: str) -> dict:
                 z = float(line[46:54])
             except ValueError:
                 continue
+            try:
+                bfac = float(line[60:66]) if len(line) >= 66 else 0.0
+            except ValueError:
+                bfac = 0.0
 
             element = _normalize_element(line[76:78] if len(line) >= 78 else "")
             if not element:
@@ -149,6 +154,7 @@ def _read_pdb_python(pdb_filepath: str) -> dict:
             chain_name.append(f"{chain}:{mid}")
             icodes.append(icode)
             atom_element.append(element)
+            bfactors.append(bfac)
 
     if not atom_xyz:
         raise ValueError(f"no atoms parsed from {pdb_filepath}")
@@ -162,6 +168,7 @@ def _read_pdb_python(pdb_filepath: str) -> dict:
         "het_flag": np.array(het_flag),
         "chain_name": np.array(chain_name),
         "icode": np.array(icodes),
+        "bfactor": np.array(bfactors, dtype=np.float32),
     }
 
 
@@ -252,6 +259,8 @@ def save_pdb(subunits: dict, filepath: str) -> None:
             su = subunits[cn]
             n = su["xyz"].shape[0]
             bfs = su.get("bfactor")
+            if bfs is not None and len(bfs) != len(su["name"]):
+                bfs = None  # stale/mismatched (e.g. hand-edited record)
             for i in range(n):
                 h = "ATOM" if su["het_flag"][i] == "A" else "HETATM"
                 bf = float(bfs[i]) if bfs is not None else 0.0
@@ -284,6 +293,8 @@ def save_traj_pdb(subunits: dict, filepath: str) -> None:
                 assert num_frames == su["xyz"].shape[0], "mismatching number of frames"
                 n = su["xyz"][k].shape[0]
                 bfs = su.get("bfactor")
+                if bfs is not None and len(bfs) != n:
+                    bfs = None  # stale/mismatched
                 for i in range(n):
                     h = "ATOM" if su["het_flag"][i] == "A" else "HETATM"
                     bf = float(bfs[i]) if bfs is not None else 0.0

@@ -41,7 +41,7 @@ def load_library():
             lib.pdb_parse.argtypes = [ctypes.c_char_p]
             lib.pdb_natoms.restype = ctypes.c_int
             lib.pdb_natoms.argtypes = [ctypes.c_void_p]
-            lib.pdb_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
+            lib.pdb_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 9
             lib.pdb_free.argtypes = [ctypes.c_void_p]
             lib.pdb_error.restype = ctypes.c_char_p
             _lib = lib
@@ -75,6 +75,7 @@ def read_pdb_native(pdb_filepath: str) -> dict:
         het = np.zeros(n, dtype=np.uint8)
         chain = np.zeros((n, 16), dtype=np.uint8)
         icode = np.zeros((n, 4), dtype=np.uint8)
+        bfactor = np.empty(n, dtype=np.float32)
         lib.pdb_fill(
             handle,
             xyz.ctypes.data_as(ctypes.c_void_p),
@@ -85,6 +86,7 @@ def read_pdb_native(pdb_filepath: str) -> dict:
             het.ctypes.data_as(ctypes.c_void_p),
             chain.ctypes.data_as(ctypes.c_void_p),
             icode.ctypes.data_as(ctypes.c_void_p),
+            bfactor.ctypes.data_as(ctypes.c_void_p),
         )
     finally:
         lib.pdb_free(handle)
@@ -101,4 +103,5 @@ def read_pdb_native(pdb_filepath: str) -> dict:
         "het_flag": het.view("S1").astype("U"),
         "chain_name": as_str(chain),
         "icode": as_str(icode),
+        "bfactor": bfactor,
     }

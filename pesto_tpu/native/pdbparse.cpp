@@ -9,7 +9,7 @@
 // C API (ctypes-friendly, two-phase):
 //   void* pdb_parse(const char* path)      -> handle or NULL
 //   int   pdb_natoms(void* h)
-//   void  pdb_fill(void* h, float* xyz, int* resid,
+//   void  pdb_fill(void* h, float* xyz, int* resid, ..., float* bfactor,
 //                  char* name16, char* element4, char* resname8,
 //                  char* het1, char* chain16, char* icode4)
 //   void  pdb_free(void* h)
@@ -28,7 +28,7 @@
 namespace {
 
 struct Atom {
-    float x, y, z;
+    float x, y, z, bfactor;
     int32_t resid;
     char name[16];
     char element[4];
@@ -147,13 +147,16 @@ void* pdb_parse(const char* path) {
             !parse_float(line + 46, 8, &z))
             continue;
 
+        float bfactor = 0.0f;
+        if (len >= 66) parse_float(line + 60, 6, &bfactor);
+
         std::string element;
         if (len >= 78) element = normalize_element(strip(line + 76, 2));
         else if (len > 76) element = normalize_element(strip(line + 76, len - 76));
         if (element.empty()) element = guess_element(name, resname);
 
         Atom a{};
-        a.x = x; a.y = y; a.z = z;
+        a.x = x; a.y = y; a.z = z; a.bfactor = bfactor;
         a.resid = static_cast<int32_t>(resid);
         std::snprintf(a.name, sizeof(a.name), "%s", name.c_str());
         std::snprintf(a.element, sizeof(a.element), "%s", element.c_str());
@@ -176,7 +179,8 @@ void* pdb_parse(const char* path) {
 int pdb_natoms(void* h) { return static_cast<int>(static_cast<ParseResult*>(h)->atoms.size()); }
 
 void pdb_fill(void* h, float* xyz, int32_t* resid, char* name16, char* element4,
-              char* resname8, char* het1, char* chain16, char* icode4) {
+              char* resname8, char* het1, char* chain16, char* icode4,
+              float* bfactor) {
     auto* res = static_cast<ParseResult*>(h);
     const size_t n = res->atoms.size();
     for (size_t i = 0; i < n; i++) {
@@ -191,6 +195,7 @@ void pdb_fill(void* h, float* xyz, int32_t* resid, char* name16, char* element4,
         het1[i] = a.het;
         std::memcpy(chain16 + 16 * i, a.chain, 16);
         std::memcpy(icode4 + 4 * i, a.icode, 4);
+        bfactor[i] = a.bfactor;
     }
 }
 

@@ -91,3 +91,36 @@ END
     s = read_pdb(str(f))
     assert s["element"][0] == "C"
     assert s["element"][1] == "Zn"
+
+
+def test_bfactor_parsed_and_survives_cleaning():
+    """Both parsers carry the B-factor column (the reference's gemmi reader
+    keeps it; pLDDT filtering and benchmark truths live there), and the
+    cleaning chain propagates it."""
+    import numpy as np
+
+    from pesto_tpu.io import read_pdb
+    from pesto_tpu.structure import clean_structure
+
+    path = "/root/reference/examples/kinase/1OL5_A.pdb"
+    s = read_pdb(path)
+    assert "bfactor" in s and s["bfactor"].shape == s["resid"].shape
+    raw = np.array(
+        [float(l[60:66]) for l in open(path) if l.startswith(("ATOM", "HETATM"))]
+    )
+    # reader may drop altloc duplicates; compare where counts align
+    if len(raw) == len(s["bfactor"]):
+        np.testing.assert_allclose(s["bfactor"], raw, atol=1e-3)
+    assert s["bfactor"].std() > 0  # real values, not zeros
+
+    c = clean_structure(s)
+    assert "bfactor" in c and c["bfactor"].shape == c["resid"].shape
+
+    import os
+
+    os.environ["PESTO_NO_NATIVE"] = "1"
+    try:
+        s_py = read_pdb(path)
+    finally:
+        del os.environ["PESTO_NO_NATIVE"]
+    np.testing.assert_allclose(s_py["bfactor"], s["bfactor"], atol=1e-4)
