@@ -33,8 +33,12 @@ def evaluate_complex(pred, structure, r_thr: float = 5.0):
     s = tag_hetatm_chains(s)
     subunits = split_by_chain(s)
     cids = sorted(subunits)
-    if len(cids) != 2:
+    if len(cids) < 2:
         raise ValueError(f"expected 2 chains, found {cids}")
+    if len(cids) > 2:
+        # keep the two largest polymer chains (hetatm-tagged chains and
+        # ions drop out), like the reference's A/B complex assumption
+        cids = sorted(sorted(subunits, key=lambda c: -subunits[c]["xyz"].shape[0])[:2])
     contacts = extract_all_contacts(subunits, r_thr)
     if not contacts or cids[1] not in contacts.get(cids[0], {}):
         raise ValueError("no inter-chain contacts")

@@ -163,3 +163,54 @@ def test_export_compiled_roundtrip(tmp_path):
     z_exported = fns[(256, 32)](pred.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask)
     z_live = pred.logits(ps)
     np.testing.assert_allclose(np.asarray(z_exported), np.asarray(z_live), atol=1e-6)
+
+
+def test_complexes_cli(tmp_path, tiny_predictor):
+    """Predicted-complex evaluation: per-chain AUC vs contact truth
+    (reference eukaryotic_protein_complexes notebooks)."""
+    import h5py
+
+    from pesto_tpu.apps import complexes
+    from pesto_tpu.io import save_pdb
+
+    # partial-contact dimer: chain B drifts away along the helix so only
+    # the first ~half of the residues are within the 5 A contact shell
+    rng = np.random.RandomState(0)
+    n_res, apr = 52, 5
+
+    def chain(tilt):
+        xyz = []
+        for r in range(n_res):
+            base = np.array([r * 1.6, tilt * r * 1.6, 0.0])
+            for a in range(apr):
+                xyz.append(base + rng.rand(3))
+        return np.array(xyz, dtype=np.float32)
+
+    names = np.tile(["N", "CA", "C", "O", "CB"], n_res)
+    elements = np.tile(["N", "C", "C", "O", "C"], n_res)
+    resnames = np.repeat(np.array(["ALA"] * n_res), apr)
+    resids = np.repeat(np.arange(1, n_res + 1), apr)
+    su = {}
+    for cid, tilt in [("A", 0.0), ("B", 0.25)]:
+        s = {
+            "xyz": chain(tilt), "name": names, "element": elements,
+            "resname": resnames, "resid": resids,
+            "het_flag": np.array(["A"] * (n_res * apr)),
+        }
+        if cid == "B":
+            s["xyz"][:, 1] += 4.0
+        su[cid] = s
+    pdb = str(tmp_path / "5xyz.pdb1")
+    save_pdb(su, pdb)
+
+    out_h5 = str(tmp_path / "cplx.h5")
+    summary = complexes.main([pdb, "--out", out_h5, "--ckpt", "ignored", "--fp32"])
+    assert summary["n_chains"] == 2
+    assert 0.0 <= summary["auc_median"] <= 1.0
+    with h5py.File(out_h5) as hf:
+        key = list(hf.keys())[0]
+        g = hf[key]
+        assert "p0" in g and "y0" in g and "p1" in g and "y1" in g
+        y0 = np.array(g["y0"])
+        assert set(np.unique(y0)) <= {0.0, 1.0}
+        assert 0 < y0.sum() < len(y0)  # genuinely partial contact labels
