@@ -109,22 +109,16 @@ def main():
     import functools
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(8)
+    from pesto_tpu.batching import BatchEncoder
+
+    enc = BatchEncoder(8)
     knn_batched = jax.jit(
-        jax.vmap(functools.partial(knn_topology, k=64), in_axes=(0, 0))
+        lambda X, am: jax.vmap(functools.partial(knn_topology, k=64), in_axes=(0, 0))(X, am)[0]
     )
 
-    def host_encode(r):
-        X, q, M = r
-        perm = morton_order(X)
-        return pad_structure_arrays(X[perm], q[perm], M[perm], na=na, nr=nr)
-
     def encode_batch(raws):
-        items = list(pool.map(host_encode, raws))
-        Xb = np.stack([p.X for p in items])
-        ab = np.stack([p.atom_mask for p in items])
-        ids_b = knn_batched(jax.device_put(Xb), jax.device_put(ab))[0]
-        batch = stack_batch(items)
+        batch = enc.encode(raws, na=na, nr=nr, spatial_sort=True)
+        ids_b = knn_batched(jax.device_put(batch.X), jax.device_put(batch.atom_mask))
         batch = dataclasses.replace(batch, ids_topk=ids_b)
         # one scalar readback stands in for the step's dispatch sync
         _ = int(np.asarray(ids_b[0, 1, 0]))

@@ -202,3 +202,80 @@ def stack_batch(structures: list) -> PaddedStructure:
         gather_cand=stack([s.gather_cand for s in structures]) if has_tables else None,
         gather_loc=stack([s.gather_loc for s in structures]) if has_tables else None,
     )
+
+
+class BatchEncoder:
+    """Reusable batch buffers for the hot serving path.
+
+    Padding a 8k-atom structure allocates ~40 MB of fresh zeroed arrays;
+    doing that per structure per batch (and then np.stack-copying into the
+    batch layout) dominates host encode time and thrashes the allocator
+    under threads. This encoder keeps ONE set of batch-shaped numpy
+    buffers per (B, na, nr, F) signature and has worker threads write each
+    structure's rows in place — no per-call allocation, no stack copy.
+
+    NOT thread-safe across concurrent encode() calls on the same instance
+    (the buffers are shared); the internal fill of one call is threaded.
+    """
+
+    def __init__(self, num_threads: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._buffers = {}
+        self._pool = ThreadPoolExecutor(num_threads)
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+
+    def _get(self, key):
+        if key not in self._buffers:
+            B, na, nr, F = key
+            self._buffers[key] = dict(
+                X=np.zeros((B, na, 3), np.float32),
+                q=np.zeros((B, na, F), np.float32),
+                M=np.zeros((B, na, nr), np.float32),
+                am=np.zeros((B, na), np.float32),
+                rm=np.zeros((B, nr), np.float32),
+                ids=np.zeros((B, na, NUM_NN), np.int32),
+            )
+        return self._buffers[key]
+
+    def encode(self, items, na: int, nr: int, spatial_sort: bool = True) -> PaddedStructure:
+        """items: list of unpadded (X [n,3], q [n,F], M [n,r]) tuples.
+        Returns a numpy-backed batch WITHOUT topology (ids all zero);
+        compute ids on device afterwards (e.g. a vmapped knn_topology)."""
+        B = len(items)
+        F = items[0][1].shape[1]
+        buf = self._get((B, na, nr, F))
+
+        def fill(j):
+            X, q, M = items[j]
+            n, r = X.shape[0], M.shape[1]
+            if n + 1 > na or r > nr:
+                raise ValueError(f"structure ({n},{r}) exceeds bucket ({na},{nr})")
+            if spatial_sort:
+                from .spatial import morton_order
+
+                perm = morton_order(X)
+                X, q, M = X[perm], q[perm], M[perm]
+            buf["X"][j, 1 : n + 1] = X
+            buf["X"][j, n + 1 :] = 0
+            buf["X"][j, 0] = 0
+            buf["q"][j, 1 : n + 1] = q
+            buf["q"][j, n + 1 :] = 0
+            buf["q"][j, 0] = 0
+            buf["M"][j, 1 : n + 1, :r] = M
+            buf["M"][j, 1 : n + 1, r:] = 0
+            buf["M"][j, n + 1 :] = 0
+            buf["M"][j, 0] = 0
+            buf["am"][j, 1 : n + 1] = 1.0
+            buf["am"][j, n + 1 :] = 0
+            buf["am"][j, 0] = 0
+            buf["rm"][j, :r] = 1.0
+            buf["rm"][j, r:] = 0
+
+        list(self._pool.map(fill, range(B)))
+        return PaddedStructure(
+            X=buf["X"], ids_topk=buf["ids"], q=buf["q"], M=buf["M"],
+            atom_mask=buf["am"], res_mask=buf["rm"],
+        )

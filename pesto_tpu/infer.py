@@ -160,54 +160,66 @@ class Predictor:
 
         from .topology import knn_topology
 
+        from .batching import ATOM_BUCKETS, RES_BUCKETS, BatchEncoder, pick_bucket
+        from .encoding import encode_features, encode_structure
+
         pool = ThreadPoolExecutor(num_threads)
+        if not hasattr(self, "_batch_encoder"):
+            self._batch_encoder = BatchEncoder(num_threads)
         try:
-            encoded = list(
-                pool.map(
-                    lambda s: encode_and_pad(
-                        s, feature_flags=self.cfg.feature_flags,
-                        with_topology=False,
-                        spatial_sort=self.use_gather_tables,
-                    ),
-                    structures,
+
+            def host_encode(s):
+                X, M = encode_structure(s)
+                feats = encode_features(s)
+                q = np.concatenate(
+                    [f for f, flag in zip(feats, self.cfg.feature_flags) if flag], axis=1
                 )
-            )
+                return X, q, M
+
+            recs = list(pool.map(host_encode, structures))
             buckets: Dict[tuple, list] = {}
-            for i, ps in enumerate(encoded):
-                buckets.setdefault((ps.X.shape[0], ps.M.shape[1]), []).append((i, ps))
+            for i, (X, q, M) in enumerate(recs):
+                key = (
+                    pick_bucket(X.shape[0] + 1, ATOM_BUCKETS),
+                    pick_bucket(max(M.shape[1], 1), RES_BUCKETS),
+                )
+                buckets.setdefault(key, []).append(i)
             out = [None] * len(structures)
-            for (na, _), group in buckets.items():
+            for (na, nr), group in buckets.items():
                 bmax = max(1, atoms_per_call // na)
                 for k in range(0, len(group), bmax):
                     chunk = group[k : k + bmax]
-                    # ONE batched kNN call for the whole chunk; ids stay
-                    # ON DEVICE (no host round trip) unless tables are
-                    # explicitly requested
-                    Xb = np.stack([ps.X for _, ps in chunk])
-                    ab = np.stack([ps.atom_mask for _, ps in chunk])
-                    ids_b = self._batched_knn(jax.device_put(Xb), jax.device_put(ab))
+                    # reused batch buffers + threaded row fill, then ONE
+                    # batched kNN call; ids stay ON DEVICE (no host round
+                    # trip) unless one-hot tables are explicitly requested
+                    batch = self._batch_encoder.encode(
+                        [recs[i] for i in chunk], na=na, nr=nr,
+                        spatial_sort=True,
+                    )
+                    ids_b = self._batched_knn(
+                        jax.device_put(batch.X), jax.device_put(batch.atom_mask)
+                    )
                     if self.use_gather_tables:
                         ids_host = np.asarray(ids_b)
                         items = [
-                            dataclasses.replace(ps, ids_topk=ids_host[j])
-                            for j, (_, ps) in enumerate(chunk)
+                            attach_gather_tables(
+                                PaddedStructure(
+                                    X=batch.X[j], ids_topk=ids_host[j],
+                                    q=batch.q[j], M=batch.M[j],
+                                    atom_mask=batch.atom_mask[j],
+                                    res_mask=batch.res_mask[j],
+                                ),
+                                u_fixed=1024,
+                            )
+                            for j in range(len(chunk))
                         ]
-                        items = list(
-                            pool.map(lambda p: attach_gather_tables(p, u_fixed=1024), items)
-                        )
-                        batch = stack_batch(items) if len(items) > 1 else items[0]
+                        batch = stack_batch(items)
                     else:
-                        items = [ps for _, ps in chunk]
-                        batch = stack_batch(items) if len(items) > 1 else items[0]
-                        batch = dataclasses.replace(
-                            batch, ids_topk=ids_b if len(items) > 1 else ids_b[0]
-                        )
+                        batch = dataclasses.replace(batch, ids_topk=ids_b)
                     probs = self.probabilities(batch)
-                    if len(items) == 1:
-                        probs = probs[None]
-                    for (i, ps), pb in zip(chunk, probs):
-                        nr = int(np.sum(np.asarray(ps.res_mask)))
-                        out[i] = pb[:nr]
+                    for j, i in enumerate(chunk):
+                        n_res = recs[i][2].shape[1]
+                        out[i] = probs[j, :n_res]
             return out
         finally:
             pool.shutdown(wait=False)
