@@ -214,23 +214,33 @@ class BatchEncoder:
     buffers per (B, na, nr, F) signature and has worker threads write each
     structure's rows in place — no per-call allocation, no stack copy.
 
-    NOT thread-safe across concurrent encode() calls on the same instance
-    (the buffers are shared); the internal fill of one call is threaded.
+    DOUBLE-buffered per signature: consecutive encode() calls with the
+    same shape alternate between two buffer sets, so a software-pipelined
+    consumer may keep ONE previous batch in flight while the next encodes
+    (on the CPU backend jnp.asarray can alias numpy memory, so the
+    in-flight batch's buffers must not be overwritten). NOT thread-safe
+    across concurrent encode() calls on the same instance; the internal
+    fill of one call is threaded.
     """
+
+    N_SETS = 2  # pipeline depth 1 consumer + 1 being filled
 
     def __init__(self, num_threads: int = 8):
         from concurrent.futures import ThreadPoolExecutor
 
         self._buffers = {}
+        self._flip = {}
         self._pool = ThreadPoolExecutor(num_threads)
 
     def close(self):
         self._pool.shutdown(wait=False)
 
     def _get(self, key):
-        if key not in self._buffers:
+        self._flip[key] = (self._flip.get(key, -1) + 1) % self.N_SETS
+        slot = (key, self._flip[key])
+        if slot not in self._buffers:
             B, na, nr, F = key
-            self._buffers[key] = dict(
+            self._buffers[slot] = dict(
                 X=np.zeros((B, na, 3), np.float32),
                 q=np.zeros((B, na, F), np.float32),
                 M=np.zeros((B, na, nr), np.float32),
@@ -238,7 +248,7 @@ class BatchEncoder:
                 rm=np.zeros((B, nr), np.float32),
                 ids=np.zeros((B, na, NUM_NN), np.int32),
             )
-        return self._buffers[key]
+        return self._buffers[slot]
 
     def encode(self, items, na: int, nr: int, spatial_sort: bool = True) -> PaddedStructure:
         """items: list of unpadded (X [n,3], q [n,F], M [n,r]) tuples.

@@ -185,41 +185,60 @@ class Predictor:
                 )
                 buckets.setdefault(key, []).append(i)
             out = [None] * len(structures)
+
+            def submit(chunk, na, nr):
+                """Encode + dispatch one chunk; returns the device logits
+                WITHOUT a host sync, so the next chunk's host encode
+                overlaps this chunk's device execution."""
+                batch = self._batch_encoder.encode(
+                    [recs[i] for i in chunk], na=na, nr=nr, spatial_sort=True,
+                )
+                ids_b = self._batched_knn(
+                    jax.device_put(batch.X), jax.device_put(batch.atom_mask)
+                )
+                if self.use_gather_tables:
+                    ids_host = np.asarray(ids_b)
+                    items = [
+                        attach_gather_tables(
+                            PaddedStructure(
+                                X=batch.X[j], ids_topk=ids_host[j],
+                                q=batch.q[j], M=batch.M[j],
+                                atom_mask=batch.atom_mask[j],
+                                res_mask=batch.res_mask[j],
+                            ),
+                            u_fixed=1024,
+                        )
+                        for j in range(len(chunk))
+                    ]
+                    batch = stack_batch(items)
+                else:
+                    batch = dataclasses.replace(batch, ids_topk=ids_b)
+                # device_put is synchronous for numpy operands, so reusing
+                # the encoder buffers for the NEXT chunk is safe once the
+                # forward has been dispatched
+                return self.logits(batch)
+
+            def collect(chunk, z):
+                import jax.numpy as jnp
+
+                probs = np.asarray(jax.nn.sigmoid(z.astype(jnp.float32)))
+                for j, i in enumerate(chunk):
+                    n_res = recs[i][2].shape[1]
+                    out[i] = probs[j, :n_res]
+
+            # software-pipelined: encode chunk k+1 on the host while the
+            # device runs chunk k's kNN + forward; one in flight at a time
+            pending = None
             for (na, nr), group in buckets.items():
                 bmax = max(1, atoms_per_call // na)
                 for k in range(0, len(group), bmax):
                     chunk = group[k : k + bmax]
-                    # reused batch buffers + threaded row fill, then ONE
-                    # batched kNN call; ids stay ON DEVICE (no host round
-                    # trip) unless one-hot tables are explicitly requested
-                    batch = self._batch_encoder.encode(
-                        [recs[i] for i in chunk], na=na, nr=nr,
-                        spatial_sort=True,
-                    )
-                    ids_b = self._batched_knn(
-                        jax.device_put(batch.X), jax.device_put(batch.atom_mask)
-                    )
-                    if self.use_gather_tables:
-                        ids_host = np.asarray(ids_b)
-                        items = [
-                            attach_gather_tables(
-                                PaddedStructure(
-                                    X=batch.X[j], ids_topk=ids_host[j],
-                                    q=batch.q[j], M=batch.M[j],
-                                    atom_mask=batch.atom_mask[j],
-                                    res_mask=batch.res_mask[j],
-                                ),
-                                u_fixed=1024,
-                            )
-                            for j in range(len(chunk))
-                        ]
-                        batch = stack_batch(items)
-                    else:
-                        batch = dataclasses.replace(batch, ids_topk=ids_b)
-                    probs = self.probabilities(batch)
-                    for j, i in enumerate(chunk):
-                        n_res = recs[i][2].shape[1]
-                        out[i] = probs[j, :n_res]
+                    z = submit(chunk, na, nr)
+                    if pending is not None:
+                        collect(*pending)
+                    pending = (chunk, z)
+            if pending is not None:
+                collect(*pending)
             return out
         finally:
             pool.shutdown(wait=False)

@@ -160,3 +160,42 @@ def test_loader_gather_tables(tmp_path):
         for i in range(B):
             sel = np.asarray(b.gather_cand[i])[tile_of_row[:, None], np.asarray(b.gather_loc[i])]
             np.testing.assert_array_equal(sel, np.asarray(b.ids_topk[i]))
+
+
+def test_predict_batch_pipelined_matches_single():
+    """Multi-chunk software-pipelined predict_batch must equal per-structure
+    prediction exactly (double-buffered encoder, device-resident ids)."""
+    import numpy as np
+
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.encoding import std_elements
+
+    cfg = get_config("i_v4_0", remat=False).replace(
+        layers=tuple([get_config("i_v4_0").layers[0]] * 2)
+    )
+    pred = Predictor(cfg, init_params(cfg))
+
+    rng = np.random.RandomState(7)
+    structures = []
+    for t in range(5):
+        n = 120 + 10 * t
+        n_res = n // 4
+        structures.append({
+            "xyz": (rng.rand(n, 3) * 30).astype(np.float32),
+            "name": np.array(["CA"] * n),
+            "element": np.array(std_elements[rng.randint(0, 5, n)]),
+            "resname": np.array(["ALA"] * n),
+            "resid": np.sort(rng.randint(1, n_res + 1, n)).astype(np.int32),
+            "het_flag": np.array(["A"] * n),
+            "chain_name": np.array(["A:0"] * n),
+            "icode": np.array([""] * n),
+        })
+
+    # atoms budget forces 2 structures per chunk -> 3 pipelined chunks
+    batch_out = pred.predict_batch(structures, atoms_per_call=512)
+    for s, pb in zip(structures, batch_out):
+        ps = pred.predict_structure(s)
+        assert pb.shape == ps.shape
+        np.testing.assert_allclose(pb, ps, atol=2e-5)
