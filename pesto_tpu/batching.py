@@ -239,28 +239,47 @@ class BatchEncoder:
         self._flip[key] = (self._flip.get(key, -1) + 1) % self.N_SETS
         slot = (key, self._flip[key])
         if slot not in self._buffers:
-            B, na, nr, F = key
+            B, na, nr, F, compact = key
+            if compact:
+                # integer codes instead of dense one-hots: the model
+                # expands them on device (q -> [.,F], M -> [.,nr]),
+                # shrinking both host memory and the H2D transfer by ~400x
+                q = np.zeros((B, na), np.int32)
+                M = np.zeros((B, na), np.int32)
+            else:
+                q = np.zeros((B, na, F), np.float32)
+                M = np.zeros((B, na, nr), np.float32)
             self._buffers[slot] = dict(
                 X=np.zeros((B, na, 3), np.float32),
-                q=np.zeros((B, na, F), np.float32),
-                M=np.zeros((B, na, nr), np.float32),
+                q=q,
+                M=M,
                 am=np.zeros((B, na), np.float32),
                 rm=np.zeros((B, nr), np.float32),
                 ids=np.zeros((B, na, NUM_NN), np.int32),
             )
         return self._buffers[slot]
 
-    def encode(self, items, na: int, nr: int, spatial_sort: bool = True) -> PaddedStructure:
-        """items: list of unpadded (X [n,3], q [n,F], M [n,r]) tuples.
-        Returns a numpy-backed batch WITHOUT topology (ids all zero);
-        compute ids on device afterwards (e.g. a vmapped knn_topology)."""
+    def encode(self, items, na: int, nr: int, spatial_sort: bool = True,
+               n_features: int = None) -> PaddedStructure:
+        """items: unpadded structures, either DENSE 3-tuples
+        (X [n,3], q [n,F] one-hot, M [n,r] one-hot) or COMPACT 4-tuples
+        (X [n,3], q_codes [n] int, rid_codes [n] int, n_res) — pass
+        n_features with compact items. Returns a numpy-backed batch
+        WITHOUT topology (ids all zero); compute ids on device afterwards
+        (e.g. a vmapped knn_topology). Compact batches carry integer q/M
+        that the model expands on device."""
         B = len(items)
-        F = items[0][1].shape[1]
-        buf = self._get((B, na, nr, F))
+        compact = len(items[0]) == 4
+        F = n_features if compact else items[0][1].shape[1]
+        buf = self._get((B, na, nr, F, compact))
 
         def fill(j):
-            X, q, M = items[j]
-            n, r = X.shape[0], M.shape[1]
+            if compact:
+                X, q, M, r = items[j]
+            else:
+                X, q, M = items[j]
+                r = M.shape[1]
+            n = X.shape[0]
             if n + 1 > na or r > nr:
                 raise ValueError(f"structure ({n},{r}) exceeds bucket ({na},{nr})")
             if spatial_sort:
@@ -274,10 +293,15 @@ class BatchEncoder:
             buf["q"][j, 1 : n + 1] = q
             buf["q"][j, n + 1 :] = 0
             buf["q"][j, 0] = 0
-            buf["M"][j, 1 : n + 1, :r] = M
-            buf["M"][j, 1 : n + 1, r:] = 0
-            buf["M"][j, n + 1 :] = 0
-            buf["M"][j, 0] = 0
+            if compact:
+                buf["M"][j, 1 : n + 1] = M
+                buf["M"][j, n + 1 :] = 0
+                buf["M"][j, 0] = 0
+            else:
+                buf["M"][j, 1 : n + 1, :r] = M
+                buf["M"][j, 1 : n + 1, r:] = 0
+                buf["M"][j, n + 1 :] = 0
+                buf["M"][j, 0] = 0
             buf["am"][j, 1 : n + 1] = 1.0
             buf["am"][j, n + 1 :] = 0
             buf["am"][j, 0] = 0

@@ -35,7 +35,7 @@ class Predictor:
         # once per item by loader worker processes) keeps them via
         # TrainConfig.gather_tables.
         self.use_gather_tables = cfg.gather == "onehot"
-        self._single = jax.jit(self._apply)
+        self._single = jax.jit(self._apply, static_argnames=("nr",))
         # batches flatten into the atom axis inside the model (faster than
         # vmap on TPU); same jitted entry point handles both ranks
         self._batched = self._single
@@ -44,8 +44,8 @@ class Predictor:
     def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":
         return cls(cfg, load_reference_checkpoint(path, cfg))
 
-    def _apply(self, params, X, ids, q, M, am, cand=None, loc=None):
-        return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc)
+    def _apply(self, params, X, ids, q, M, am, cand=None, loc=None, nr=None):
+        return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc, nr=nr)
 
     def export_compiled(self, path: str, buckets=((512, 64),)) -> None:
         """Serialize the forward as portable StableHLO artifacts
@@ -105,11 +105,15 @@ class Predictor:
                 jax.block_until_ready(self.logits(target))
 
     def logits(self, ps: PaddedStructure) -> jax.Array:
-        """Per-residue logits [NR, C] (or [B, NR, C] for batches)."""
+        """Per-residue logits [NR, C] (or [B, NR, C] for batches).
+
+        Compact batches (integer q/M codes) pass the static residue count
+        via res_mask's trailing dimension."""
         fn = self._batched if ps.X.ndim == 3 else self._single
+        nr = int(ps.res_mask.shape[-1]) if np.issubdtype(ps.M.dtype, np.integer) else None
         return fn(
             self.params, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask,
-            ps.gather_cand, ps.gather_loc,
+            ps.gather_cand, ps.gather_loc, nr=nr,
         )
 
     def probabilities(self, ps: PaddedStructure) -> np.ndarray:
@@ -168,20 +172,43 @@ class Predictor:
             self._batch_encoder = BatchEncoder(num_threads)
         try:
 
+            from .encoding import std_elements, std_names, std_resnames
+
+            flags = self.cfg.feature_flags
+            vocabs = [std_elements, std_resnames, std_names]
+            fields = ["element", "resname", "name"]
+            # COMPACT encode (integer codes, expanded on device) whenever
+            # the feature set is a single vocabulary one-hot (the flagship
+            # uses element-only): kills the dense q and M host arrays and
+            # their H2D transfer (M alone is NAxNR f32)
+            compact = sum(flags) == 1
+            if compact:
+                k = list(flags).index(True)
+                vocab, field = vocabs[k], fields[k]
+                code_of = {v: i for i, v in enumerate(vocab)}
+                other = len(vocab)
+                assert self.cfg.em_n0 == other + 1
+
             def host_encode(s):
-                X, M = encode_structure(s)
+                X = np.asarray(s["xyz"], dtype=np.float32)
+                if compact:
+                    _, rid = np.unique(np.asarray(s["resid"]), return_inverse=True)
+                    qc = np.fromiter(
+                        (code_of.get(v, other) for v in s[field]), np.int32, len(X)
+                    )
+                    return X, qc, rid.astype(np.int32), int(rid.max()) + 1
+                Xd, M = encode_structure(s)
                 feats = encode_features(s)
-                q = np.concatenate(
-                    [f for f, flag in zip(feats, self.cfg.feature_flags) if flag], axis=1
-                )
-                return X, q, M
+                q = np.concatenate([f for f, fl in zip(feats, flags) if fl], axis=1)
+                return Xd, q, M
 
             recs = list(pool.map(host_encode, structures))
             buckets: Dict[tuple, list] = {}
-            for i, (X, q, M) in enumerate(recs):
+            for i, rec in enumerate(recs):
+                n_res = rec[3] if compact else rec[2].shape[1]
                 key = (
-                    pick_bucket(X.shape[0] + 1, ATOM_BUCKETS),
-                    pick_bucket(max(M.shape[1], 1), RES_BUCKETS),
+                    pick_bucket(rec[0].shape[0] + 1, ATOM_BUCKETS),
+                    pick_bucket(max(n_res, 1), RES_BUCKETS),
                 )
                 buckets.setdefault(key, []).append(i)
             out = [None] * len(structures)
@@ -192,6 +219,7 @@ class Predictor:
                 overlaps this chunk's device execution."""
                 batch = self._batch_encoder.encode(
                     [recs[i] for i in chunk], na=na, nr=nr, spatial_sort=True,
+                    n_features=self.cfg.em_n0,
                 )
                 ids_b = self._batched_knn(
                     jax.device_put(batch.X), jax.device_put(batch.atom_mask)
@@ -223,7 +251,7 @@ class Predictor:
 
                 probs = np.asarray(jax.nn.sigmoid(z.astype(jnp.float32)))
                 for j, i in enumerate(chunk):
-                    n_res = recs[i][2].shape[1]
+                    n_res = recs[i][3] if compact else recs[i][2].shape[1]
                     out[i] = probs[j, :n_res]
 
             # software-pipelined: encode chunk k+1 on the host while the

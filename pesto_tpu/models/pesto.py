@@ -454,12 +454,27 @@ class PestoModel(nn.Module):
     cfg: PestoConfig
 
     @nn.compact
-    def __call__(self, X, ids_topk, q0, M, atom_mask, gather_cand=None, gather_loc=None):
+    def __call__(self, X, ids_topk, q0, M, atom_mask, gather_cand=None,
+                 gather_loc=None, nr=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         prec = _PRECISIONS[cfg.precision]
         if cfg.gather == "take":
             gather_cand = gather_loc = None
+
+        # COMPACT host inputs: both q0 (vocabulary one-hot) and M (residue
+        # membership) are one-hots of per-atom integer codes, so the host
+        # may ship the codes ([NA] int32 each) and let the device expand
+        # them — the dense M alone is NAxNR f32 (128 MB per 4x8k batch),
+        # the dominant host->device transfer in serving. Integer dtype
+        # selects the compact path; `nr` (static) is required for M codes.
+        if jnp.issubdtype(q0.dtype, jnp.integer):
+            q0 = jax.nn.one_hot(q0, cfg.em_n0, dtype=jnp.float32)
+        if jnp.issubdtype(M.dtype, jnp.integer):
+            if nr is None:
+                raise ValueError("compact M (residue codes) requires static nr")
+            M = jax.nn.one_hot(M, nr, dtype=jnp.float32)
+            M = M * atom_mask[..., None].astype(M.dtype)
 
         batched = X.ndim == 3
         if batched:

@@ -59,3 +59,26 @@ def random_padded_structure(
 
             ps = attach_gather_tables(ps, u_fixed=1024)
     return ps
+
+
+def random_structure_record(
+    n_atoms: int = 50, n_res: int = 12, seed: int = 0
+) -> dict:
+    """A random protein-like raw structure RECORD (the dict the io readers
+    produce), for driving the full host encode + predict pipeline."""
+    from .encoding import std_elements
+
+    rng = np.random.RandomState(seed)
+    box = max((n_atoms / 0.1) ** (1.0 / 3.0), 10.0)
+    resid = np.sort(rng.randint(1, n_res + 1, n_atoms)).astype(np.int32)
+    resid[0], resid[-1] = 1, n_res
+    return {
+        "xyz": (rng.rand(n_atoms, 3) * box).astype(np.float32),
+        "name": np.array(["CA"] * n_atoms),
+        "element": np.array(std_elements[rng.randint(0, 5, n_atoms)]),
+        "resname": np.array(["ALA"] * n_atoms),
+        "resid": resid,
+        "het_flag": np.array(["A"] * n_atoms),
+        "chain_name": np.array(["A:0"] * n_atoms),
+        "icode": np.array([""] * n_atoms),
+    }
