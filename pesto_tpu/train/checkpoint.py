@@ -12,14 +12,19 @@ import numpy as np
 
 
 def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None, keep: int = 3):
+    """Single-process: snapshot to host then save. Multi-host (pod
+    slices): save the SHARDED jax.Arrays directly — orbax writes each
+    process's addressable shards and assembles a distributed checkpoint;
+    every process must call this (the train loop does, unconditionally)."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
     step = int(state.global_step) if step is None else int(step)
+    payload = state if jax.process_count() > 1 else jax.device_get(state)
     with ocp.CheckpointManager(
         ckpt_dir, options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
     ) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        mgr.save(step, args=ocp.args.StandardSave(payload))
         mgr.wait_until_finished()
     return step
 
@@ -45,7 +50,9 @@ def restore_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None
         step = mgr.latest_step() if step is None else step
         if step is None:
             return None
-        target = jax.device_get(state_template)
+        # multi-host: a sharded template makes orbax restore each
+        # process's shards in place (distributed restore)
+        target = state_template if jax.process_count() > 1 else jax.device_get(state_template)
         return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
