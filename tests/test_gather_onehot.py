@@ -199,3 +199,39 @@ def test_predict_batch_pipelined_matches_single():
         ps = pred.predict_structure(s)
         assert pb.shape == ps.shape
         np.testing.assert_allclose(pb, ps, atol=2e-5)
+
+
+def test_predict_batch_dense_fallback_multivocab():
+    """Configs with multi-vocabulary features (em_n0=123, i_v3_*) cannot
+    use integer feature codes; predict_batch must fall back to dense
+    one-hots and still match per-structure prediction."""
+    import numpy as np
+
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.encoding import std_elements
+
+    base = get_config("i_v3_0")
+    cfg = base.replace(layers=tuple([base.layers[0]] * 2), remat=False)
+    pred = Predictor(cfg, init_params(cfg))
+
+    rng = np.random.RandomState(11)
+    structures = []
+    for t in range(2):
+        n = 100 + 8 * t
+        n_res = n // 4
+        structures.append({
+            "xyz": (rng.rand(n, 3) * 28).astype(np.float32),
+            "name": np.array(["CA"] * n),
+            "element": np.array(std_elements[rng.randint(0, 5, n)]),
+            "resname": np.array(["ALA"] * n),
+            "resid": np.sort(rng.randint(1, n_res + 1, n)).astype(np.int32),
+            "het_flag": np.array(["A"] * n),
+            "chain_name": np.array(["A:0"] * n),
+            "icode": np.array([""] * n),
+        })
+    batch_out = pred.predict_batch(structures)
+    for s, pb in zip(structures, batch_out):
+        ps = pred.predict_structure(s)
+        np.testing.assert_allclose(pb, ps, atol=2e-5)
