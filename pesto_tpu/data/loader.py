@@ -58,8 +58,10 @@ class BucketedLoader:
         gather_tables: bool = False,
         gather_u: int = 1024,
         num_workers: int = 0,
+        worker_timeout: float = 600.0,
     ):
         self.dataset = dataset
+        self.worker_timeout = worker_timeout
         self.sizes = np.asarray(sizes)
         self.atoms_per_batch = atoms_per_batch
         self.min_batch = min_batch
@@ -232,12 +234,40 @@ class BucketedLoader:
         pool = self._ensure_pool()
         depth = self.num_workers + max(self.prefetch, 1)
         inflight = deque()
+
+        def drain(res):
+            # bounded get() in a retry loop so a dead worker (e.g.
+            # OOM-killed mid-epoch) surfaces as a diagnostic instead of a
+            # silent forever-hang; each retry re-checks the pool's state
+            import multiprocessing as mp
+
+            waited = 0.0
+            while True:
+                try:
+                    return res.get(timeout=30.0)
+                except mp.TimeoutError:
+                    waited += 30.0
+                    dead = [w for w in pool._pool if not w.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker process(es) died (pids "
+                            f"{[w.pid for w in dead]}, exitcodes "
+                            f"{[w.exitcode for w in dead]}) — likely "
+                            f"OOM-killed; reduce num_workers or batch size"
+                        )
+                    if waited >= self.worker_timeout:
+                        raise RuntimeError(
+                            f"loader batch not produced after {waited:.0f}s "
+                            f"with all {self.num_workers} workers alive — "
+                            f"stuck worker (I/O hang?)"
+                        )
+
         for spec in batches:
             inflight.append(pool.apply_async(_mp_make_batch, (spec,)))
             if len(inflight) >= depth:
-                yield inflight.popleft().get()
+                yield drain(inflight.popleft())
         while inflight:
-            yield inflight.popleft().get()
+            yield drain(inflight.popleft())
 
     def __iter__(self) -> Iterator[PaddedStructure]:
         batches = self._plan()

@@ -34,6 +34,35 @@ def _pick(row, cols, *tags, default=""):
     return default
 
 
+def _tokenize(s: str):
+    """Split one mmCIF data row into values, honoring single/double quotes
+    (a quoted value may contain spaces; per the CIF spec the closing quote
+    must be followed by whitespace or end-of-line)."""
+    if "'" not in s and '"' not in s:
+        return s.split()
+    toks = []
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i] in " \t":
+            i += 1
+        if i >= n:
+            break
+        if s[i] in "'\"":
+            qc = s[i]
+            j = i + 1
+            while j < n and not (s[j] == qc and (j + 1 == n or s[j + 1] in " \t")):
+                j += 1
+            toks.append(s[i + 1 : j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and s[j] not in " \t":
+                j += 1
+            toks.append(s[i:j])
+            i = j
+    return toks
+
+
 def read_mmcif(path: str) -> Dict[str, np.ndarray]:
     """Parse an mmCIF (optionally gzipped) into a structure record.
 
@@ -57,6 +86,12 @@ def read_mmcif(path: str) -> Dict[str, np.ndarray]:
                 if s.startswith("_atom_site."):
                     tags.append(s.split()[0].split(".", 1)[1])
                 elif tags:
+                    if not s or s.startswith("#"):
+                        # blank/comment between the tag block and the first
+                        # data row: not a loop terminator
+                        continue
+                    if s.startswith("_") or s.lower().startswith(("loop_", "data_")):
+                        break  # header ended with no data rows
                     # first non-tag line after the header: the data begins
                     cols = {t: j for j, t in enumerate(tags)}
                     in_atom_site = True
@@ -66,7 +101,7 @@ def read_mmcif(path: str) -> Dict[str, np.ndarray]:
                 if (not s or s.startswith("#") or s.startswith("_")
                         or s.lower().startswith(("loop_", "data_"))):
                     break  # atom_site loop ended
-                row = s.split()
+                row = _tokenize(s)
                 if len(row) < len(tags):
                     continue
 
@@ -88,15 +123,18 @@ def read_mmcif(path: str) -> Dict[str, np.ndarray]:
                 if x != x or y != y or z != z:  # NaN coordinates
                     continue
 
-                if alt:
-                    key = (chain, resid, name)
-                    if key in altloc_seen:
-                        continue
-                    altloc_seen.add(key)
-
                 if model not in model_ids:
                     model_ids[model] = len(model_ids)
                 mid = model_ids[model]
+
+                if alt:
+                    # model id in the key: NMR ensembles repeat every atom
+                    # per model, so a model-less key would silently drop
+                    # all altloc atoms of models >= 2
+                    key = (mid, chain, resid, icode, name)
+                    if key in altloc_seen:
+                        continue
+                    altloc_seen.add(key)
 
                 try:
                     bfac = float(_pick(row, cols, "B_iso_or_equiv", default="0"))

@@ -12,8 +12,11 @@ Behavioral contract matched against the reference reader:
   - multi-model files: every model is read and chains are renamed
     "{chain}:{model_index}" with a 0-based model index,
   - altloc handling keeps the *first* encountered conformer, keyed by
-    (chain, resid, atom name) across the whole file (reference
-    src/structure_io.py:26-31 keeps one global altloc list),
+    (model, chain, resid, icode, atom name). Deliberate divergence from
+    the reference: src/structure_io.py:26-31 keeps one GLOBAL altloc
+    list, which silently drops every altloc-flagged atom of models >= 2
+    in multi-model (NMR ensemble) files; keying per model keeps each
+    model complete. Identical on single-model files (all fixtures),
   - het_flag is 'A' for ATOM records and 'H' for HETATM records,
   - the element symbol comes from columns 77-78, falling back to a guess
     from the atom name when the column is blank,
@@ -126,7 +129,10 @@ def _read_pdb_python(pdb_filepath: str) -> dict:
             icode = line[26:27].strip()
 
             if altloc not in (" ", ""):
-                key = f"{chain}_{resid}_{name}"
+                # model id is part of the key: each MODEL in an NMR
+                # ensemble carries its own copy of every atom, so a
+                # model-less key would drop all altloc atoms of models >= 2
+                key = f"{mid}_{chain}_{resid}_{icode}_{name}"
                 if key in altloc_seen:
                     continue
                 altloc_seen.add(key)

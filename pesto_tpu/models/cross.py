@@ -32,10 +32,9 @@ class CrossPestoModel(nn.Module):
         atom_mask [NA]) per structure. Returns (zA [NRa,C], zB [NRb,C])."""
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        prec = (
-            jax.lax.Precision.HIGHEST if cfg.precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        )
+        from .pesto import _PRECISIONS
+
+        prec = _PRECISIONS[cfg.precision]
 
         # parameter sharing across the two structures comes from calling
         # the same submodules on both inputs (like the reference's single

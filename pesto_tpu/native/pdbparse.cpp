@@ -1,10 +1,12 @@
 // Native PDB parser: the hot host-side path of the data loader.
 //
 // Replaces the per-line Python parsing in io/pdb.py (semantics matched:
-// fixed columns, first-altloc kept keyed by chain_resid_name across the
-// whole file, multi-model "{chain}:{model}" naming, element fallback
-// guess). The reference relied on GEMMI (C++) for this; this is our
-// equivalent native component. Supports plain and gzip files (zlib).
+// fixed columns, first-altloc kept keyed by model_chain_resid_icode_name
+// — PER MODEL, so NMR ensembles keep their altloc atoms in every model;
+// the reference's global key silently drops them for models >= 2 —
+// multi-model "{chain}:{model}" naming, element fallback guess). The
+// reference relied on GEMMI (C++) for this; this is our equivalent
+// native component. Supports plain and gzip files (zlib).
 //
 // C API (ctypes-friendly, two-phase):
 //   void* pdb_parse(const char* path)      -> handle or NULL
@@ -138,7 +140,8 @@ void* pdb_parse(const char* path) {
         std::string icode = strip(line + 26, 1);
 
         if (altloc != ' ' && altloc != '\0') {
-            std::string key = chain + "_" + std::to_string(resid) + "_" + name;
+            std::string key = std::to_string(mid) + "_" + chain + "_" +
+                              std::to_string(resid) + "_" + icode + "_" + name;
             if (!altloc_seen.insert(key).second) continue;
         }
 

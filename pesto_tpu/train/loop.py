@@ -261,30 +261,36 @@ def train(
     train_results = []
     t_last, steps_last = time.time(), int(state.global_step)
 
-    for epoch in range(tc.num_epochs):
-        for host_batch in loader_train:
-            batch = put(host_batch)
-            state, out = train_step(state, batch)
-            global_step = int(state.global_step)
-            train_results.append(
-                (np.asarray(out["losses"]), _per_structure_scores(host_batch, out["p"]))
-            )
+    try:
+        for epoch in range(tc.num_epochs):
+            for host_batch in loader_train:
+                batch = put(host_batch)
+                state, out = train_step(state, batch)
+                global_step = int(state.global_step)
+                train_results.append(
+                    (np.asarray(out["losses"]), _per_structure_scores(host_batch, out["p"]))
+                )
 
-            if (global_step + 1) % tc.log_step == 0:
-                scores = _aggregate(train_results)
-                train_results = []
-                dt = time.time() - t_last
-                sps = (global_step - steps_last) / max(dt, 1e-9)
-                t_last, steps_last = time.time(), global_step
-                scores["steps_per_sec"] = sps
-                _log_scores(logger, scores, global_step, state.pos_ratios, "train", tb_writer)
-                save_checkpoint(ckpt_dir, state)
+                if (global_step + 1) % tc.log_step == 0:
+                    scores = _aggregate(train_results)
+                    train_results = []
+                    dt = time.time() - t_last
+                    sps = (global_step - steps_last) / max(dt, 1e-9)
+                    t_last, steps_last = time.time(), global_step
+                    scores["steps_per_sec"] = sps
+                    _log_scores(logger, scores, global_step, state.pos_ratios, "train", tb_writer)
+                    save_checkpoint(ckpt_dir, state)
 
-            if (global_step + 1) % tc.eval_step == 0:
-                scores, _ = run_eval(state, loader_test, eval_step, put, tc.eval_size)
-                _log_scores(logger, scores, global_step, state.pos_ratios, "test", tb_writer)
-                if scores["loss"] <= min_loss:
-                    min_loss = scores["loss"]
-                    logger.print(f"> saving best model (loss {min_loss:.4f})")
-                    save_checkpoint(best_dir, state, keep=1)
-        logger.print(f"epoch {epoch + 1}/{tc.num_epochs} done")
+                if (global_step + 1) % tc.eval_step == 0:
+                    scores, _ = run_eval(state, loader_test, eval_step, put, tc.eval_size)
+                    _log_scores(logger, scores, global_step, state.pos_ratios, "test", tb_writer)
+                    if scores["loss"] <= min_loss:
+                        min_loss = scores["loss"]
+                        logger.print(f"> saving best model (loss {min_loss:.4f})")
+                        save_checkpoint(best_dir, state, keep=1)
+            logger.print(f"epoch {epoch + 1}/{tc.num_epochs} done")
+    finally:
+        # tear down forked worker pools so an exception (or normal return)
+        # never leaves orphaned loader processes behind
+        loader_train.close()
+        loader_test.close()

@@ -5,8 +5,13 @@ Warm-starts from the ported i_v4_0 reference checkpoint and fine-tunes for
 complexes (md_analysis/pdbs_clusters/*_C.pdb), with the production training
 configuration (bfloat16 compute + fp32 master weights, dots_nb remat,
 one-hot gather tables, donated state). Reports held-in protein AUC before
-and after — the round-1 fp32 baseline improved 0.915 -> 0.954
-(docs/VALIDATION.md). Passes if AUC_after >= 0.95.
+and after. Measured trajectory on this dataset (seed 11, 48 steps, v5e,
+2026-08-16): fp32 0.8312 -> 0.8515; fast config (bf16 + dots_nb remat +
+tables + donate) 0.8307 -> 0.8510.
+
+Pass criterion (asserted): AUC improves over the warm start, and the fast
+config lands within 5e-3 AUC of the committed fp32-baseline endpoint —
+i.e. bf16 training convergence tracks fp32.
 
 Usage: python scripts/exp_finetune.py [--fp32] [--n 150]
 """
@@ -101,10 +106,17 @@ def main():
 
     auc1 = auc_over(mkloader(False), eval_step, state)
     print(f"AUC after:  {auc1:.4f}")
-    # measured on this dataset (2026-08-16, v5e): fp32 0.8312 -> 0.8515,
-    # fast config (bf16 + dots_nb + tables + donate) 0.8307 -> 0.8510 —
-    # identical convergence to within 5e-4 of AUC
-    print("compare against the fp32 baseline via --fp32; trajectories must match")
+
+    # fp32-baseline endpoint on this exact dataset/seed/steps (see module
+    # docstring); defaults only — a different --n/--steps skips the check
+    FP32_AUC_AFTER = 0.8515
+    assert auc1 > auc0, f"no convergence: AUC {auc0:.4f} -> {auc1:.4f}"
+    if not args.fp32 and args.n == 150 and args.steps == 48:
+        assert abs(auc1 - FP32_AUC_AFTER) <= 5e-3, (
+            f"fast-config AUC {auc1:.4f} deviates from the fp32 baseline "
+            f"{FP32_AUC_AFTER:.4f} by more than 5e-3"
+        )
+        print(f"PASS: fast config within 5e-3 of fp32 baseline ({FP32_AUC_AFTER})")
 
 
 if __name__ == "__main__":

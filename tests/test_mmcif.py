@@ -94,3 +94,69 @@ def test_read_structure_dispatch():
     assert s["xyz"].shape[0] > 1000
     with pytest.raises(ValueError):
         read_mmcif(KINASE)  # not a cif: no atom_site loop
+
+
+def test_mmcif_multimodel_altlocs_kept_per_model(tmp_path):
+    """Altloc dedup is per-model: NMR ensembles repeat every atom per
+    model; a model-less key would drop all altloc atoms of models >= 2."""
+    txt = """data_x
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.auth_atom_id
+_atom_site.label_alt_id
+_atom_site.auth_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.pdbx_PDB_ins_code
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.pdbx_PDB_model_num
+ATOM 1 C CA A ALA A 1 ? 0.0 0.0 0.0 1
+ATOM 2 C CA B ALA A 1 ? 9.0 9.0 9.0 1
+ATOM 3 C CA A ALA A 1 ? 0.5 0.5 0.5 2
+ATOM 4 C CA B ALA A 1 ? 9.5 9.5 9.5 2
+#
+"""
+    p = tmp_path / "nmr.cif"
+    p.write_text(txt)
+    s = read_mmcif(str(p))
+    # first altloc kept in EACH model
+    assert list(s["chain_name"]) == ["A:0", "A:1"]
+    np.testing.assert_allclose(s["xyz"][:, 0], [0.0, 0.5])
+
+
+def test_mmcif_quoted_values_and_header_gap(tmp_path):
+    """Quoted values containing spaces must not shift columns, and a
+    comment/blank line between the tag block and the first data row must
+    not abort the parse."""
+    txt = """data_x
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.auth_atom_id
+_atom_site.label_alt_id
+_atom_site.auth_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_seq_id
+_atom_site.pdbx_PDB_ins_code
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.pdbx_PDB_model_num
+# comment between header and data
+
+ATOM 1 C "CA X" . ALA A 1 ? 1.0 2.0 3.0 1
+ATOM 2 N 'N 1' . GLY A 2 ? 4.0 5.0 6.0 1
+#
+"""
+    p = tmp_path / "q.cif"
+    p.write_text(txt)
+    s = read_mmcif(str(p))
+    assert s["xyz"].shape == (2, 3)
+    assert list(s["name"]) == ["CA X", "N 1"]
+    assert list(s["resid"]) == [1, 2]
+    np.testing.assert_allclose(s["xyz"][1], [4.0, 5.0, 6.0])

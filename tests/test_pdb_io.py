@@ -124,3 +124,25 @@ def test_bfactor_parsed_and_survives_cleaning():
     finally:
         del os.environ["PESTO_NO_NATIVE"]
     np.testing.assert_allclose(s_py["bfactor"], s["bfactor"], atol=1e-4)
+
+
+def test_pdb_multimodel_altlocs_kept_per_model(tmp_path):
+    """Altloc dedup key includes the MODEL id (NMR ensembles repeat each
+    altloc-flagged atom per model; gemmi keeps the first altloc per model,
+    reference src/structure_io.py:6-55)."""
+    lines = []
+    for m in (1, 2):
+        lines.append(f"MODEL     {m:>4}")
+        for alt, x in (("A", 1.0), ("B", 9.0)):
+            lines.append(
+                f"ATOM      1  CA {alt}ALA A   1    {x:8.3f}{x:8.3f}{x:8.3f}"
+                f"  1.00  0.00           C"
+            )
+        lines.append("ENDMDL")
+    p = tmp_path / "nmr.pdb"
+    p.write_text("\n".join(lines) + "\nEND\n")
+    from pesto_tpu.io import read_pdb
+
+    s = read_pdb(str(p))
+    assert list(s["chain_name"]) == ["A:0", "A:1"]
+    np.testing.assert_allclose(s["xyz"][:, 0], [1.0, 1.0])
