@@ -16,8 +16,8 @@ Baseline: the reference PyTorch implementation on this host's CPU
 (torch 2.13 eager, fp32, 32-layer config, 8191-atom structure took 224 s
 -> 36.6 atoms/s end-to-end, measured 2026-08-16; BASELINE.md targets
 >=20x CPU-torch per chip at unchanged AUC). bf16 serving accuracy is
-validated on the full pdbs_test benchmark: median AUC 0.8931 vs 0.8920
-for fp32-exact (docs/VALIDATION.md).
+validated on the full pdbs_test benchmark: median AUC 0.8945 with exact
+kNN, 0.8915 in fast-kNN mode (docs/VALIDATION.md, ppi_benchmark_*.csv).
 """
 
 import json

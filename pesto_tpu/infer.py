@@ -39,6 +39,13 @@ class Predictor:
         # batches flatten into the atom axis inside the model (faster than
         # vmap on TPU); same jitted entry point handles both ranks
         self._batched = self._single
+        # fused serving program: batched kNN -> forward -> sigmoid in ONE
+        # XLA dispatch. The tunneled runtime charges ~30-120 ms per
+        # dispatch, so the 3-dispatch chain (kNN, forward, sigmoid) that
+        # predict_batch used to issue per chunk paid that tax three times;
+        # fusing also lets XLA overlap the kNN of the next lax-scheduled
+        # work with nothing blocking on intermediate ids readbacks.
+        self._fused_serve = jax.jit(self._knn_forward_sigmoid, static_argnames=("nr",))
 
     @classmethod
     def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":
@@ -46,6 +53,20 @@ class Predictor:
 
     def _apply(self, params, X, ids, q, M, am, cand=None, loc=None, nr=None):
         return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc, nr=nr)
+
+    def _knn_forward_sigmoid(self, params, X, q, M, am, nr=None):
+        """Whole serving chunk as one XLA program: vmapped kNN topology,
+        flat-batch forward, fp32 sigmoid. X/am: [B, NA(,3)]."""
+        import functools
+
+        from .topology import knn_topology
+
+        ids = jax.vmap(
+            functools.partial(knn_topology, k=64, method=self.knn_method),
+            in_axes=(0, 0),
+        )(X, am)[0]
+        z = self.model.apply({"params": params}, X, ids, q, M, am, nr=nr)
+        return jax.nn.sigmoid(z.astype(jnp.float32))
 
     def export_compiled(self, path: str, buckets=((512, 64),)) -> None:
         """Serialize the forward as portable StableHLO artifacts
@@ -145,24 +166,29 @@ class Predictor:
         return structure, self.predict_structure(structure)
 
     def predict_batch(
-        self, structures: list, atoms_per_call: int = 32768, num_threads: int = 8
+        self,
+        structures: list,
+        atoms_per_call: int = 32768,
+        num_threads: int = 8,
+        pipeline_depth: int = 2,
     ) -> list:
         """Predict a list of structure records, grouping into per-bucket
         batches for throughput (batch size capped by an atom budget per
         device call). Returns a list of [n_res_i, C] arrays.
 
-        Pipelined: host encode (Morton sort + pad) runs in a thread pool,
-        the kNN topology for a whole bucket batch runs as ONE batched
-        device call (vmapped), and gather-table builds are threaded — the
-        serial per-structure encode+knn chain was the end-to-end
-        bottleneck once the forward went bf16 (measured ~70 ms/structure
-        serial vs ~280 ms forward for a whole 4x8k batch)."""
+        Serving pipeline: host encode (Morton sort + pad) runs in a thread
+        pool, then each chunk is ONE fused XLA dispatch (batched kNN ->
+        flat-batch forward -> fp32 sigmoid) — the tunneled runtime charges
+        tens of ms per dispatch, so the former kNN/forward/sigmoid
+        3-dispatch chain paid that tax three times per chunk. Up to
+        `pipeline_depth` chunks stay in flight on the device while the
+        host encodes the next one and reads back the oldest (BatchEncoder
+        double-buffers host arrays for exactly this)."""
         import dataclasses
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         import jax
-
-        from .topology import knn_topology
 
         from .batching import ATOM_BUCKETS, RES_BUCKETS, BatchEncoder, pick_bucket
         from .encoding import encode_features, encode_structure
@@ -214,18 +240,19 @@ class Predictor:
             out = [None] * len(structures)
 
             def submit(chunk, na, nr):
-                """Encode + dispatch one chunk; returns the device logits
-                WITHOUT a host sync, so the next chunk's host encode
-                overlaps this chunk's device execution."""
+                """Encode + dispatch one chunk; returns device PROBS
+                without a host sync, so later chunks' host encodes overlap
+                this chunk's device execution."""
                 batch = self._batch_encoder.encode(
                     [recs[i] for i in chunk], na=na, nr=nr, spatial_sort=True,
                     n_features=self.cfg.em_n0,
                 )
-                ids_b = self._batched_knn(
-                    jax.device_put(batch.X), jax.device_put(batch.atom_mask)
-                )
                 if self.use_gather_tables:
-                    ids_host = np.asarray(ids_b)
+                    # one-hot gather tables need the kNN ids on the host;
+                    # this path keeps the separate-kNN pipeline
+                    ids_host = np.asarray(self._batched_knn(
+                        jax.device_put(batch.X), jax.device_put(batch.atom_mask)
+                    ))
                     items = [
                         attach_gather_tables(
                             PaddedStructure(
@@ -238,35 +265,41 @@ class Predictor:
                         )
                         for j in range(len(chunk))
                     ]
-                    batch = stack_batch(items)
-                else:
-                    batch = dataclasses.replace(batch, ids_topk=ids_b)
-                # device_put is synchronous for numpy operands, so reusing
-                # the encoder buffers for the NEXT chunk is safe once the
-                # forward has been dispatched
-                return self.logits(batch)
+                    sb = stack_batch(items)
+                    return jax.nn.sigmoid(self.logits(sb).astype(jnp.float32))
+                # fused path: ONE dispatch for kNN + forward + sigmoid.
+                # jit's implicit host->device transfer of the numpy batch
+                # copies before returning, so the encoder's double-buffered
+                # arrays are safely reusable for later chunks.
+                nr_static = (
+                    int(batch.res_mask.shape[-1])
+                    if np.issubdtype(batch.M.dtype, np.integer) else None
+                )
+                return self._fused_serve(
+                    self.params, batch.X, batch.q, batch.M, batch.atom_mask,
+                    nr=nr_static,
+                )
 
-            def collect(chunk, z):
-                import jax.numpy as jnp
-
-                probs = np.asarray(jax.nn.sigmoid(z.astype(jnp.float32)))
+            def collect(chunk, probs_dev):
+                probs = np.asarray(probs_dev)
                 for j, i in enumerate(chunk):
                     n_res = recs[i][3] if compact else recs[i][2].shape[1]
                     out[i] = probs[j, :n_res]
 
-            # software-pipelined: encode chunk k+1 on the host while the
-            # device runs chunk k's kNN + forward; one in flight at a time
-            pending = None
+            # software pipeline: up to pipeline_depth chunks in flight on
+            # the device while the host encodes the next and drains the
+            # oldest (the drain is the only host sync per chunk)
+            depth = max(1, int(pipeline_depth))
+            pending = deque()
             for (na, nr), group in buckets.items():
                 bmax = max(1, atoms_per_call // na)
                 for k in range(0, len(group), bmax):
                     chunk = group[k : k + bmax]
-                    z = submit(chunk, na, nr)
-                    if pending is not None:
-                        collect(*pending)
-                    pending = (chunk, z)
-            if pending is not None:
-                collect(*pending)
+                    pending.append((chunk, submit(chunk, na, nr)))
+                    if len(pending) > depth:
+                        collect(*pending.popleft())
+            while pending:
+                collect(*pending.popleft())
             return out
         finally:
             pool.shutdown(wait=False)

@@ -54,3 +54,15 @@ def test_validation_medians_match_csv(medians):
     assert fast, "VALIDATION.md no longer states the fast-mode median"
     assert abs(float(fast.group(1)) - medians["fast_ours"]) < 5e-5
     assert abs(float(fast.group(2)) - medians["full_ours"]) < 5e-5
+
+
+def test_bench_docstring_medians_match_csv(medians):
+    """bench.py's quoted serving-accuracy numbers must track the committed
+    benchmark CSVs (round-2 carried stale values)."""
+    text = open(REPO / "bench.py").read()
+    stated = re.search(
+        r"median AUC (0\.\d{4}) with exact\s*\nkNN, (0\.\d{4}) in fast-kNN mode", text
+    )
+    assert stated, "bench.py no longer states the pdbs_test medians"
+    assert abs(float(stated.group(1)) - medians["full_ours"]) < 5e-5
+    assert abs(float(stated.group(2)) - medians["fast_ours"]) < 5e-5

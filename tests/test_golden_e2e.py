@@ -1,0 +1,73 @@
+"""Default-suite end-to-end golden test: raw PDB file -> predict_pdb_file
+-> b-factor-encoded per-class PDB outputs, compared against committed
+golden files (tests/goldens/, generated with the ported i_v4_0 reference
+checkpoint on the CPU backend).
+
+The reference's own `examples/*_i{0..4}.pdb` goldens were produced with
+the i_v4_1 weights, which are stripped from this mount
+(.MISSING_LARGE_BLOBS) — so the committed fixtures here pin the i_v4_0
+prediction pipeline instead, and the *layout* is additionally checked
+against a reference golden (reference src/structure_io.py:96-123).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+CKPT = "/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt"
+
+
+def _bfactors(path):
+    out = []
+    for line in open(path):
+        if line[:6] in ("ATOM  ", "HETATM"):
+            out.append(float(line[60:66]))
+    return np.array(out)
+
+
+@pytest.fixture(scope="module")
+def outputs(tmp_path_factory, example_pdb):
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.io import save_pdb
+    from pesto_tpu.models import get_config
+    from pesto_tpu.structure import encode_bfactor, split_by_chain
+
+    pred = Predictor.from_reference_checkpoint(CKPT, get_config("i_v4_0", remat=False))
+    structure, probs = pred.predict_pdb_file(example_pdb)
+    out = tmp_path_factory.mktemp("golden_e2e")
+    for k in range(probs.shape[1]):
+        s = encode_bfactor(dict(structure), probs[:, k])
+        save_pdb(split_by_chain(s), str(out / f"1OL5_A_i{k}.pdb"))
+    return out, probs
+
+
+def test_predict_pdb_file_matches_committed_goldens(outputs):
+    out, probs = outputs
+    assert probs.shape[1] == 5
+    for k in range(5):
+        got = _bfactors(out / f"1OL5_A_i{k}.pdb")
+        want = _bfactors(GOLDEN_DIR / f"1OL5_A_i{k}.pdb")
+        assert got.shape == want.shape
+        # b-factor column carries 2 decimals; one rounding quantum slack
+        # absorbs backend-to-backend float differences
+        np.testing.assert_allclose(got, want, atol=0.011, err_msg=f"class {k}")
+
+
+def test_output_layout_matches_reference_golden(outputs):
+    """Line layout parity with the reference writer: same record columns
+    for atom serial / name / resname / chain / resid / xyz."""
+    out, _ = outputs
+    ref_lines = [
+        l for l in open("/root/reference/examples/kinase/1OL5_A_i0.pdb")
+        if l.startswith("ATOM")
+    ]
+    got_lines = [l for l in open(out / "1OL5_A_i0.pdb") if l.startswith("ATOM")]
+    assert len(ref_lines) == len(got_lines)
+    for rl, gl in zip(ref_lines[:50], got_lines[:50]):
+        # columns outside occupancy/b-factor (which hold the prediction)
+        assert rl[:54] == gl[:54], (rl, gl)
+        assert rl[76:78] == gl[76:78]

@@ -165,8 +165,9 @@ def test_padding_invariance(predictor, example_pdb):
     np.testing.assert_allclose(z1, z2, atol=1e-4, rtol=1e-4)
 
 
-@SLOW
 def test_forward_parity_full_structure(torch_reference, predictor, example_pdb):
+    """Full-size (uncropped) parity in the DEFAULT suite so CI asserts the
+    headline claim without env vars (round-2 VERDICT weak item 6)."""
     torch, ref_model = torch_reference
     structure = clean_structure(read_pdb(example_pdb))
     z_ref, ids_topk_raw, X, qe, M = _reference_forward(torch, ref_model, structure)
