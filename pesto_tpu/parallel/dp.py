@@ -40,28 +40,92 @@ def replicate_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
 
-def make_dp_train_step(cfg, tx, mesh: Mesh, pos_weight_factor: float = 0.5, donate: bool = True):
-    fn = build_train_step_fn(cfg, tx, pos_weight_factor)
+def make_dp_train_step(cfg, tx, mesh: Mesh, pos_weight_factor: float = 0.5,
+                       donate: bool = True, use_shard_map: bool = True):
+    """Data-parallel train step.
+
+    Default path: shard_map over the 'data' axis — each device runs the
+    full model on ITS OWN structures (the flat-batch neighbor gathers
+    stay device-local), with exactly three cross-device psums: the
+    pos_ratios batch statistics, the loss normalizer/per-class sums, and
+    the gradients. Under plain GSPMD jit, the flat-batch reshape folds
+    the sharded batch axis into the atom axis and the partitioner
+    inserts a full-state all-gather per scan group per direction (8 per
+    step at 4 scan groups) — harmless at this model's size but avoidable;
+    tests/test_hlo_collectives.py pins the shard_map pattern.
+
+    use_shard_map=False keeps the GSPMD path (used by SP composition).
+    """
     rep = replicated_sharding(mesh)
     shard = batch_sharding(mesh)
 
-    def state_spec(state):
-        return jax.tree_util.tree_map(lambda _: rep, state)
+    if not use_shard_map:
+        fn = build_train_step_fn(cfg, tx, pos_weight_factor)
+        return jax.jit(
+            fn,
+            in_shardings=(rep, shard),
+            out_shardings=(rep, {"loss": rep, "losses": rep, "p": shard}),
+            donate_argnums=(0,) if donate else (),
+        )
 
-    def batch_spec(batch):
-        return jax.tree_util.tree_map(lambda _: shard, batch)
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
 
-    def step(state, batch):
-        return fn(state, batch)
+    from ..models import PestoModel
+    from ..train.loss import masked_bce_with_pos_weight, update_pos_ratios
+    from ..train.step import _batched_forward
 
-    # shardings resolved lazily at first call via explicit constraints
-    jitted = jax.jit(
-        step,
+    model = PestoModel(cfg)
+    AX = "data"
+
+    def local_step(state, batch):
+        step = state.global_step + 1
+        pos_ratios = jax.lax.stop_gradient(
+            update_pos_ratios(state.pos_ratios, batch.y, batch.res_mask, step, axis_name=AX)
+        )
+        n_res = jnp.maximum(jax.lax.psum(jnp.sum(batch.res_mask), AX), 1.0)
+
+        def loss_fn(params):
+            z = _batched_forward(model, params, batch)
+            per_class_local, total_local = masked_bce_with_pos_weight(
+                z, batch.y, batch.res_mask, pos_ratios, pos_weight_factor, n_res=n_res
+            )
+            return total_local, (per_class_local, z)
+
+        (_, (pc_local, z)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.psum(grads, AX)
+        per_class = jax.lax.psum(pc_local, AX)
+        new_state = state.apply_gradients(tx, grads).replace(
+            pos_ratios=pos_ratios, global_step=step
+        )
+        return new_state, {
+            "loss": jnp.sum(per_class),
+            "losses": per_class,
+            "p": jax.nn.sigmoid(z),
+        }
+
+    def batch_specs(batch):
+        return jax.tree_util.tree_map(lambda _: P(AX), batch)
+
+    def step_fn(state, batch):
+        state_specs = jax.tree_util.tree_map(lambda _: P(), state)
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_specs, batch_specs(batch)),
+            out_specs=(
+                state_specs,
+                {"loss": P(), "losses": P(), "p": P(AX)},
+            ),
+            check_vma=False,
+        )(state, batch)
+
+    return jax.jit(
+        step_fn,
         in_shardings=(rep, shard),
         out_shardings=(rep, {"loss": rep, "losses": rep, "p": shard}),
         donate_argnums=(0,) if donate else (),
     )
-    return jitted
 
 
 def make_dp_eval_step(cfg, mesh: Mesh, pos_weight_factor: float = 0.5):
