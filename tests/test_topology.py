@@ -105,3 +105,70 @@ def test_knn_fast_method_agreement():
     assert agree > 0.98
     # the near-neighbor prefix (what small-nn layers consume) matches
     assert np.mean(ids_e[:, :16] == ids_f[:, :16]) > 0.999
+
+
+def _fast_vs_exact(Xp, mask, k=64):
+    ids_e, d_e, _ = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=k, method="exact")
+    ids_f, d_f, _ = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=k, method="fast")
+    return (np.asarray(ids_e), np.asarray(d_e), np.asarray(ids_f), np.asarray(d_f))
+
+
+def _pad(X):
+    n = X.shape[0]
+    NA = 1 << max(7, int(np.ceil(np.log2(n + 1))))
+    Xp = np.zeros((NA, 3), np.float32)
+    Xp[1 : n + 1] = X
+    mask = np.zeros(NA, np.float32)
+    mask[1 : n + 1] = 1.0
+    return Xp, mask, n
+
+
+def _assert_fast_contract(Xp, mask, n, min_recall, label):
+    """The tested fast-kNN contract (documented in topology.py):
+
+    1. the exact top-32 PREFIX is never dropped — the approx_max_k
+       partial reduce runs with L = k + 32 candidate slots, and on every
+       adversarial geometry class tested here the 32 nearest survive the
+       tournament intact (measured worst prefix recall 1.000 for
+       lattice / cluster+outliers / colinear);
+    2. worst-case per-row neighbor-SET recall >= min_recall (a measured,
+       geometry-class-specific bound; the weakest is the regular lattice
+       with maximal distance ties, worst 0.875).
+    """
+    ids_e, d_e, ids_f, d_f = _fast_vs_exact(Xp, mask)
+    worst = 1.0
+    for r in range(1, n + 1):
+        ne = [int(j) for j in ids_e[r] if j > 0]
+        nf = set(int(j) for j in ids_f[r] if j > 0)
+        if not ne:
+            continue
+        worst = min(worst, len(set(ne) & nf) / len(ne))
+        prefix_missing = [j for j in ne[:32] if j not in nf]
+        assert not prefix_missing, (label, r, prefix_missing[:5])
+    assert worst >= min_recall, (label, worst)
+
+
+def test_knn_fast_contract_lattice():
+    """Regular cubic lattice: maximal distance ties (the adversarial case
+    for tournament selection)."""
+    g = np.mgrid[0:12, 0:12, 0:12].reshape(3, -1).T.astype(np.float32) * 1.8
+    Xp, mask, n = _pad(g[:1500])
+    _assert_fast_contract(Xp, mask, n, min_recall=0.85, label="lattice")
+
+
+def test_knn_fast_contract_cluster_outliers():
+    """Dense cluster + far outliers: distance distribution with a gap."""
+    rng = np.random.RandomState(5)
+    cluster = rng.randn(1400, 3).astype(np.float32) * 4
+    outliers = rng.randn(100, 3).astype(np.float32) * 4 + 300.0
+    Xp, mask, n = _pad(np.concatenate([cluster, outliers]))
+    _assert_fast_contract(Xp, mask, n, min_recall=0.95, label="cluster+outliers")
+
+
+def test_knn_fast_contract_colinear():
+    """Colinear chain: 1-D degenerate geometry, evenly spaced (ties in
+    both directions)."""
+    t = np.arange(1200, dtype=np.float32) * 1.5
+    X = np.stack([t, np.zeros_like(t), np.zeros_like(t)], axis=1)
+    Xp, mask, n = _pad(X)
+    _assert_fast_contract(Xp, mask, n, min_recall=0.99, label="colinear")
