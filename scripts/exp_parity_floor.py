@@ -1,0 +1,180 @@
+"""Parity-floor study: is the measured <1e-4 probability gap to the torch
+reference an implementation defect or the fp32 floor?  (VERDICT round-2
+item 3; BASELINE.md's "match to 1e-5" north-star.)
+
+Protocol, all on CPU with fp32-HIGHEST matmuls:
+  1. Run the reference torch model in float64 on a full-size pdbs_test
+     structure -> ground truth.
+  2. Compare three fp32 pipelines against it, layer by layer (max |dq|
+     after each of the 16 StateUpdateLayers, then |dp| on the final
+     probabilities):
+       a. torch fp32 (the reference itself in its shipped precision),
+       b. torch fp32 with a different thread count (reduction-order
+          spread of the reference on its own),
+       c. our JAX fp32 forward (scan disabled so intermediates are
+          capturable).
+  3. The floor argument: if (c) tracks (a)'s distance from the f64 truth
+     at every depth, the remaining gap is fp32 accumulation, not a bug.
+
+Writes the table to stdout; docs/VALIDATION.md quotes the result.
+
+Usage: JAX_PLATFORMS=cpu python scripts/exp_parity_floor.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import torch
+
+from pesto_tpu.encoding import encode_features, encode_structure
+from pesto_tpu.io import read_pdb
+from pesto_tpu.models import PestoModel, get_config
+from pesto_tpu.port import load_reference_checkpoint
+from pesto_tpu.structure import clean_structure
+from pesto_tpu.batching import pad_structure_arrays
+
+CKPT = "/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt"
+PDB = "/root/reference/examples/kinase/1OL5_A.pdb"
+
+
+def load_torch_model(dtype):
+    import importlib.util
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_pesto_model", "/root/reference/model/model.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove("/root/reference")
+    cfg16 = {
+        "em": {"N0": 30, "N1": 32},
+        "sum": [
+            {"Ns": 32, "Nh": 2, "Nk": 3, "nn": nn}
+            for nn in [8] * 4 + [16] * 4 + [32] * 4 + [64] * 4
+        ],
+        "spl": {"N0": 32, "N1": 32, "Nh": 4},
+        "dm": {"N0": 32, "N1": 32, "N2": 5},
+    }
+    model = mod.Model(cfg16)
+    model.load_state_dict(torch.load(CKPT, map_location="cpu", weights_only=True))
+    model.eval()
+    return model.to(dtype)
+
+
+def torch_layerwise(model, X, ids, q0, M, dtype):
+    """Replicates Model.forward (reference model/model.py:32-52) capturing
+    q after every StateUpdateLayer."""
+    X = torch.from_numpy(X).to(dtype)
+    ids = torch.from_numpy(ids)
+    q0 = torch.from_numpy(q0).to(dtype)
+    M = torch.from_numpy(M).to(dtype)
+    with torch.no_grad():
+        q = model.em.forward(q0)
+        p0 = torch.zeros((q.shape[0] + 1, X.shape[1], q.shape[1]), dtype=dtype)
+        from types import SimpleNamespace
+
+        sys.path.insert(0, "/root/reference")
+        try:
+            from src.model_operations import unpack_state_features
+        finally:
+            sys.path.remove("/root/reference")
+        qa, pa, X_n, q_n, p_n = None, None, None, None, None
+        q_, ids_, D_nn, R_nn = unpack_state_features(X, ids, q)
+        qs = []
+        Z = (q_, p0, ids_, D_nn, R_nn)
+        for layer in model.sum:
+            Z = layer.forward(Z)
+            qs.append(Z[0].numpy().astype(np.float64))
+        qa, pa = Z[0], Z[1]
+        qr, pr = model.spl.forward(qa[1:], pa[1:], M)
+        zr = torch.cat([qr, torch.norm(pr, dim=1)], dim=1)
+        z = model.dm.forward(zr)
+    return qs, z.numpy().astype(np.float64)
+
+
+def main():
+    structure = clean_structure(read_pdb(PDB))
+    X, M = encode_structure(structure)
+    qe, _, _ = encode_structure and encode_features(structure)[0:1][0], None, None
+    qe = encode_features(structure)[0]
+
+    # reference topology (torch, f64 for the distance compute is
+    # irrelevant: ids are integers and agree across precisions here)
+    Xt = torch.from_numpy(X)
+    R = Xt.unsqueeze(0) - Xt.unsqueeze(1)
+    D = torch.norm(R, dim=2)
+    D = D + torch.max(D) * (D < 1e-2).float()
+    _, ids_topk = torch.topk(D, 64, dim=1, largest=False)
+    ids_raw = ids_topk.numpy()
+    ids = np.zeros((X.shape[0], 64), dtype=np.int64)
+    ids[:, :] = ids_raw + 1
+
+    m64 = load_torch_model(torch.float64)
+    m32 = load_torch_model(torch.float32)
+
+    qs64, z64 = torch_layerwise(m64, X, ids, qe, M, torch.float64)
+    qs32, z32 = torch_layerwise(m32, X, ids, qe, M, torch.float32)
+
+    # torch's own reduction-order spread: single-threaded rerun
+    n_threads = torch.get_num_threads()
+    torch.set_num_threads(1)
+    qs32b, z32b = torch_layerwise(m32, X, ids, qe, M, torch.float32)
+    torch.set_num_threads(n_threads)
+
+    # our jax fp32 forward, scan disabled for intermediates
+    cfg = get_config("i_v4_0", remat=False, scan_layers=False)
+    params = load_reference_checkpoint(CKPT, cfg)
+    model = PestoModel(cfg)
+    ps = pad_structure_arrays(X, qe, M, ids_topk_raw=ids_raw)
+    (z_j, inter) = model.apply(
+        {"params": params}, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+        mutable=["intermediates"],
+    )
+    n, r = X.shape[0], M.shape[1]
+    z_j = np.asarray(z_j, np.float64)[:r]
+    qs_j = []
+    for i in range(len(cfg.layers)):
+        out = inter["intermediates"][f"sul_{i}"]["__call__"][0]
+        qs_j.append(np.asarray(out[0], np.float64)[: n + 1])
+
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    print(f"structure: {PDB} atoms={n} residues={r}")
+    print("layer | torch32 vs f64 | torch32(1thr) vs torch32 | jax32 vs f64 | jax32 vs torch32")
+    for i in range(len(qs64)):
+        a = np.abs(qs32[i] - qs64[i]).max()
+        b = np.abs(qs32b[i] - qs32[i]).max()
+        c = np.abs(qs_j[i][: qs64[i].shape[0]] - qs64[i]).max()
+        d = np.abs(qs_j[i][: qs32[i].shape[0]] - qs32[i]).max()
+        print(f"{i:5d} | {a:14.3e} | {b:24.3e} | {c:12.3e} | {d:16.3e}")
+
+    pa = np.abs(sig(z32) - sig(z64)).max()
+    pb = np.abs(sig(z32b) - sig(z32)).max()
+    pc = np.abs(sig(z_j) - sig(z64)).max()
+    pd = np.abs(sig(z_j) - sig(z32)).max()
+    print("\nfinal probabilities (max |dp|):")
+    print(f"  torch32 vs torch64     : {pa:.3e}   <- the reference's own fp32 floor")
+    print(f"  torch32 threads spread : {pb:.3e}")
+    print(f"  jax32  vs torch64      : {pc:.3e}")
+    print(f"  jax32  vs torch32      : {pd:.3e}   <- the 'parity' number")
+    if pc <= 3 * max(pa, 1e-9):
+        print("CONCLUSION: jax fp32 sits at the same distance from the f64 truth "
+              "as the reference's own fp32 — the gap is fp32 accumulation, not a defect.")
+
+
+if __name__ == "__main__":
+    main()

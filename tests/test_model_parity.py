@@ -174,7 +174,10 @@ def test_forward_parity_full_structure(torch_reference, predictor, example_pdb):
     ps = pad_structure_arrays(X, qe, M, ids_topk_raw=ids_topk_raw)
     z = np.asarray(predictor.logits(ps))[: M.shape[1]]
     perr = np.abs(jax.nn.sigmoid(z) - 1 / (1 + np.exp(-z_ref))).max()
-    assert perr < 1e-4, f"probability err {perr}"
+    # BASELINE.md north-star: match the reference per-residue
+    # probabilities to 1e-5 (measured 8.5e-7 on this structure;
+    # scripts/exp_parity_floor.py shows the fp32 floor itself is ~1e-6)
+    assert perr < 1e-5, f"probability err {perr}"
 
 
 def test_torch_export_roundtrip(torch_reference, predictor):
@@ -218,4 +221,4 @@ def test_forward_parity_second_structure(torch_reference, predictor, example_com
     ps = pad_structure_arrays(X, qe, M, ids_topk_raw=ids_topk_raw)
     z = np.asarray(predictor.logits(ps))[: M.shape[1]]
     perr = np.abs(jax.nn.sigmoid(z) - 1 / (1 + np.exp(-z_ref))).max()
-    assert perr < 1e-4, f"probability err {perr}"
+    assert perr < 1e-5, f"probability err {perr}"
