@@ -166,6 +166,23 @@ def main():
     dt32 = bench_forward(pred32, batch)
     log(f"fp32 forward: {dt32*1e3:.0f} ms/batch")
 
+    # forward MFU / achieved-HBM fraction (v5e: ~197 TFLOP/s bf16,
+    # ~819 GB/s HBM): quantifies how far the bf16 forward sits from the
+    # roofline and whether the HBM-bound claim holds
+    fwd_mfu = fwd_hbm = None
+    try:
+        fargs = (batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask)
+        ffn = jax.jit(lambda *a: pred16.model.apply({"params": pred16.params}, *a))
+        ca = ffn.lower(*fargs).compile().cost_analysis()
+        fl = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
+        fwd_mfu = fl / dt16 / 197e12
+        fwd_hbm = by / dt16 / 819e9
+        log(f"bf16 forward: {fl/1e9:.1f} GFLOP, {by/1e9:.2f} GB -> "
+            f"MFU {fwd_mfu*100:.1f}%, HBM {fwd_hbm*100:.1f}%")
+    except Exception as e:
+        log(f"forward cost analysis unavailable: {e}")
+
     total_atoms = B * n_atoms
     e2e_serial = total_atoms / (t_encode + dt16)
     fwd16 = total_atoms / dt16
@@ -181,19 +198,38 @@ def main():
         random_structure_record(n_atoms=n_atoms, n_res=n_res, seed=100 + i)
         for i in range(12)
     ]
-    _ = pred16.predict_batch(records)  # warm (compiles already cached)
-    t0 = time.perf_counter()
-    probs_out = pred16.predict_batch(records)
-    t_pb = time.perf_counter() - t0
-    assert all(p.shape[0] > 0 for p in probs_out)
-    e2e = 12 * n_atoms / t_pb
-    log(f"predict_batch (12x8k, pipelined): {t_pb*1e3:.0f} ms = {e2e:.0f} atoms/s")
+
+    def bench_pb(pred, label):
+        _ = pred.predict_batch(records)  # warm (compiles already cached)
+        best = None
+        for _i in range(3):
+            t0 = time.perf_counter()
+            probs_out = pred.predict_batch(records)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        assert all(p.shape[0] > 0 for p in probs_out)
+        rate = 12 * n_atoms / best
+        log(f"predict_batch {label} (12x8k, fused+pipelined): "
+            f"{best*1e3:.0f} ms = {rate:.0f} atoms/s")
+        return rate
+
+    e2e = bench_pb(pred16, "exact-kNN")
+    # fast-kNN serving: first-class benchmarked mode — full pdbs_test
+    # median AUC 0.8915 vs 0.8945 exact (docs/VALIDATION.md)
+    pred16f = Predictor(cfg16, params, knn_method="fast")
+    e2e_fast = bench_pb(pred16f, "fast-kNN ")
 
     # --- training throughput (flagship, production fast config) ---------
     # bf16 compute + fp32 master weights, dots_nb remat, one-hot gather
     # tables, donated state. Reference trains ~4.6-5.1 structures/s on a
-    # V100 (BASELINE.md).
-    train_sps = None
+    # V100 (BASELINE.md). Three measurements (VERDICT round-2 item 4):
+    #   train_1k:    16x1k-atom bucket (steady-state step compute)
+    #   train_8k:    4x8191-atom bucket (the reference's max size)
+    #   train_mixed: sustained loop over a mixed-bucket synthetic dataset
+    #                through BucketedLoader incl. host encode, eval pass
+    #                and checkpoint save
+    train_sps = train_8k = train_mixed = None
+    train_mfu = train_hbm = None
     try:
         from pesto_tpu.synthetic import random_padded_structure
         from pesto_tpu.train import create_train_state
@@ -204,33 +240,157 @@ def main():
             remat=True, remat_policy="dots_nb",
         )
         tstate, tx = create_train_state(tcfg, learning_rate=1e-5)
-        tb = stack_batch(
-            [
-                random_padded_structure(
-                    n_atoms=1000, n_res=126, na=1024, nr=128, seed=i,
-                    with_labels=True, with_gather_tables=True,
-                )
-                for i in range(16)
-            ]
-        )
-        tb = jax.device_put(tb)  # once; the step loop must time compute
         raw_step = build_train_step_fn(tcfg, tx)
 
-        def train_body(state, _):
-            state, out = raw_step(state, tb)
-            return state, out["loss"]
+        def time_train(batch, b, iters=BENCH_ITERS, step_fn=None, state=None):
+            batch = jax.device_put(batch)
+            step_fn = step_fn or raw_step
+            state = state if state is not None else tstate
 
-        tf = jax.jit(lambda s: jax.lax.scan(train_body, s, None, length=BENCH_ITERS))
-        s, losses = tf(tstate)
-        _ = float(losses[-1])
-        t0 = time.perf_counter()
-        s, losses = tf(s)
-        _ = float(losses[-1])
-        tdt = (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS
+            def train_body(st, _):
+                st, out = step_fn(st, batch)
+                return st, out["loss"]
+
+            tf = jax.jit(lambda s: jax.lax.scan(train_body, s, None, length=iters))
+            s, losses = tf(state)
+            _ = float(losses[-1])
+            t0 = time.perf_counter()
+            s, losses = tf(s)
+            _ = float(losses[-1])
+            dt = (time.perf_counter() - t0 - _SYNC_MS) / iters
+            return dt, tf, s
+
+        tb1 = stack_batch([
+            random_padded_structure(n_atoms=1000, n_res=126, na=1024, nr=128,
+                                    seed=i, with_labels=True, with_gather_tables=True)
+            for i in range(16)
+        ])
+        tdt, _, _ = time_train(tb1, 16)
         train_sps = 16 / tdt
-        log(f"train: {tdt:.3f}s/step = {train_sps:.1f} structures/s")
+        log(f"train 16x1k: {tdt:.3f}s/step = {train_sps:.1f} structures/s")
+
+        # full-remat config for large buckets: the dots_nb policy saves
+        # the edge-MLP activations, which at 4x8192 flat atoms is ~9 GB
+        # (measured 24.95G needed vs 15.75G HBM); full remat keeps only
+        # the per-layer states
+        tcfg8 = get_config(
+            "i_v4_1", dtype="bfloat16", precision="default", remat=True,
+        )
+        tstate8, tx8 = create_train_state(tcfg8, learning_rate=1e-5)
+        raw_step8 = build_train_step_fn(tcfg8, tx8)
+
+        try:
+            tb8 = stack_batch([
+                random_padded_structure(n_atoms=8191, n_res=1024, na=8192,
+                                        nr=1024, seed=i, with_labels=True)
+                for i in range(4)
+            ])
+            tdt8, tf8, _ = time_train(tb8, 4, step_fn=raw_step8, state=tstate8)
+            train_8k = {
+                "structures_per_sec": round(4 / tdt8, 2),
+                "atoms_per_sec": round(4 * 8191 / tdt8, 1),
+                "sec_per_step": round(tdt8, 4),
+            }
+            log(f"train 4x8k: {tdt8:.3f}s/step = {4/tdt8:.1f} structures/s"
+                f" = {4*8191/tdt8:.0f} atoms/s")
+
+            # MFU / HBM utilization from the compiled cost analysis (v5e
+            # peaks: ~197 TFLOP/s bf16, ~819 GB/s HBM) — makes the
+            # "HBM-traffic-bound" claim a printed number
+            try:
+                # analyze the un-scanned step: XLA's cost_analysis counts a
+                # while-loop body ONCE regardless of trip count, so lowering
+                # the scanned program and dividing by iters undercounts 10x
+                tb8d = jax.device_put(tb8)
+                ca = (
+                    jax.jit(raw_step8)
+                    .lower(tstate8, tb8d)
+                    .compile()
+                    .cost_analysis()
+                )
+                fl = float(ca.get("flops", 0.0))
+                by = float(ca.get("bytes accessed", 0.0))
+                train_mfu = fl / tdt8 / 197e12
+                train_hbm = by / tdt8 / 819e9
+                log(f"train 4x8k: {fl/1e9:.1f} GFLOP/step, {by/1e9:.2f} GB/step "
+                    f"-> MFU {train_mfu*100:.1f}%, HBM {train_hbm*100:.1f}%")
+            except Exception as e:
+                log(f"train cost analysis unavailable: {e}")
+        except Exception as e:
+            log(f"train_8k skipped: {type(e).__name__}: {str(e)[:160]}")
+
+        # sustained mixed-bucket run: loader (host pad + gather tables) +
+        # train steps + one eval pass + one checkpoint save
+        import tempfile
+
+        from pesto_tpu.data.loader import BucketedLoader
+        from pesto_tpu.topology import extract_topology
+        from pesto_tpu.train.checkpoint import save_checkpoint
+        from pesto_tpu.train.step import build_eval_step_fn
+
+        class SynthDataset:
+            """Mixed-size synthetic structures with precomputed topology."""
+
+            def __init__(self, sizes):
+                self.items = []
+                for i, (n_at, n_rs) in enumerate(sizes):
+                    X, q, M = random_structure_arrays(n_at, n_rs, seed=200 + i)
+                    ids = extract_topology(X, 64)[0].astype(np.int32)
+                    y = (np.random.RandomState(i).rand(n_rs, 5) < 0.1).astype(np.float32)
+                    self.items.append((X, ids, q, M, y))
+
+            def __len__(self):
+                return len(self.items)
+
+            def __getitem__(self, i):
+                return self.items[i]
+
+        sizes = ([(1000, 126)] * 16 + [(2000, 250)] * 8 + [(4000, 500)] * 6
+                 + [(8191, 1024)] * 4)
+        ds = SynthDataset(sizes)
+        # row-gather path (no tables): the table einsums at the 8192
+        # bucket crash the remote compile (see train_8k note above)
+        loader = BucketedLoader(
+            ds, np.array([(a, r) for a, r in sizes]), atoms_per_batch=32768,
+            max_batch=32, shuffle=True, seed=3, gather_tables=False,
+        )
+        # mixed run uses the full-remat step (the 8192 bucket cannot
+        # hold dots_nb's saved activations, see above)
+        jstep = jax.jit(raw_step8, donate_argnums=(0,))
+        jeval = jax.jit(build_eval_step_fn(tcfg8))
+        # warm all bucket shapes (compiles; cached across processes)
+        st = tstate8
+        for hb in loader:
+            st, out = jstep(st, jax.device_put(hb))
+        _ = float(out["loss"])
+        for hb in loader:
+            _ = jeval(st, jax.device_put(hb))["loss"]
+
+        n_struct = len(sizes)
+        t0 = time.perf_counter()
+        steps = 0
+        for _epoch in range(2):
+            for hb in loader:
+                st, out = jstep(st, jax.device_put(hb))
+                steps += 1
+        for hb in loader:  # eval pass
+            _ = jeval(st, jax.device_put(hb))["loss"]
+        with tempfile.TemporaryDirectory() as ckdir:
+            save_checkpoint(ckdir, st)
+        _ = float(out["loss"])
+        t_mix = time.perf_counter() - t0
+        atoms_total = 2 * sum(a for a, _ in sizes)
+        train_mixed = {
+            "structures_per_sec": round(2 * n_struct / t_mix, 2),
+            "atoms_per_sec": round(atoms_total / t_mix, 1),
+            "steps_per_sec": round(steps / t_mix, 3),
+            "wall_sec": round(t_mix, 2),
+            "includes": "loader+2 epochs+eval pass+ckpt save",
+        }
+        log(f"train mixed: {t_mix:.2f}s for {steps} steps + eval + ckpt = "
+            f"{2*n_struct/t_mix:.1f} structures/s, {atoms_total/t_mix:.0f} atoms/s")
     except Exception as e:
-        log(f"train bench skipped: {type(e).__name__}: {str(e)[:120]}")
+        log(f"train bench skipped: {type(e).__name__}: {str(e)[:160]}")
 
     print(
         json.dumps(
@@ -243,14 +403,21 @@ def main():
                     "batch_size": B,
                     "atoms": n_atoms,
                     "layers": len(cfg16.layers),
-                    "e2e_sec_per_batch": round(t_pb / 3, 4),
+                    "e2e_fast_knn_atoms_per_sec": round(e2e_fast, 1),
+                    "e2e_fast_knn_auc_note": "pdbs_test median AUC 0.8915 fast vs 0.8945 exact",
                     "e2e_serial_atoms_per_sec": round(e2e_serial, 1),
                     "forward_atoms_per_sec_bf16": round(fwd16, 1),
                     "forward_atoms_per_sec_fp32_exact": round(fwd32, 1),
+                    "forward_mfu": round(fwd_mfu, 4) if fwd_mfu else None,
+                    "forward_hbm_fraction": round(fwd_hbm, 4) if fwd_hbm else None,
                     "knn_ms_8k_exact": round(knn_ms, 1),
                     "encode_knn_ms_batch": round(t_encode * 1e3, 1),
                     "train_structures_per_sec": round(train_sps, 2) if train_sps else None,
                     "train_vs_v100_baseline": round(train_sps / 5.0, 2) if train_sps else None,
+                    "train_8k": train_8k,
+                    "train_mixed": train_mixed,
+                    "train_8k_mfu": round(train_mfu, 4) if train_mfu else None,
+                    "train_8k_hbm_fraction": round(train_hbm, 4) if train_hbm else None,
                     "device": str(jax.devices()[0]),
                 },
             }
