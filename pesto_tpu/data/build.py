@@ -199,10 +199,20 @@ def _process_pdb_for_build(pdb_filepath: str, cfg: dict):
 
 def _build_worker_init():
     # encode/contact math may use jax; pin workers to the CPU backend so
-    # they never open their own device client
+    # they never open their own device client. The env var alone is NOT
+    # sufficient on hosts whose sitecustomize force-registers a TPU PJRT
+    # plugin (measured: with the device tunnel wedged, a child honoring
+    # only JAX_PLATFORMS=cpu hangs forever at backend init, while the
+    # runtime config pin succeeds) — set both.
     import os
 
     os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def _build_worker(task):
@@ -229,8 +239,29 @@ def build_dataset_h5(
 
     if num_workers > 0:
         import multiprocessing as mp
+        import os
 
-        pool = mp.get_context("spawn").Pool(num_workers, initializer=_build_worker_init)
+        # spawned children re-run the interpreter (and any sitecustomize
+        # TPU-plugin registration) from THIS environment; scrub the device
+        # plugin triggers so workers come up CPU-only even when the
+        # device/tunnel is unhealthy — the initializer's in-process pin
+        # runs too late if plugin registration itself blocks startup
+        saved = {
+            k: os.environ.get(k)
+            for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+        }
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        try:
+            pool = mp.get_context("spawn").Pool(
+                num_workers, initializer=_build_worker_init
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
         results = pool.imap(_build_worker, [(p, cfg) for p in pdb_filepaths], chunksize=4)
     else:
         pool = None

@@ -125,14 +125,14 @@ class StateUpdate(nn.Module):
     pallas: bool = False
 
     @nn.compact
-    def __call__(self, q, p, q_nn, p_nn, d_nn, r_nn):
+    def __call__(self, q, p, q_nn, p_nn, d_nn, r_nn, qp=None, ids=None):
         S, Nh, Nk = self.cfg.Ns, self.cfg.Nh, self.cfg.Nk
-        N, n_nn = q_nn.shape[0], q_nn.shape[1]
         prec = self.precision
         sdk = jnp.sqrt(jnp.asarray(Nk, dtype=q.dtype))
 
         if self.fused:
-            return self._fused(q, p, q_nn, p_nn, d_nn, r_nn)
+            return self._fused(q, p, q_nn, p_nn, d_nn, r_nn, qp, ids)
+        N, n_nn = q_nn.shape[0], q_nn.shape[1]
 
         # node features: scalar state + vector state norms  [N, 2S]
         X_n = jnp.concatenate([q, safe_norm(p, axis=1)], axis=1)
@@ -191,7 +191,7 @@ class StateUpdate(nn.Module):
 
         return q + qh, p + ph
 
-    def _fused(self, q, p, q_nn, p_nn, d_nn, r_nn):
+    def _fused(self, q, p, q_nn, p_nn, d_nn, r_nn, qp=None, ids=None):
         """Packed computation, same parameters and (up to fp summation
         order) the same math as the exact path, shaped for the TPU:
 
@@ -208,17 +208,13 @@ class StateUpdate(nn.Module):
             src/model_operations.py:131-136).
         """
         S, Nh, Nk = self.cfg.Ns, self.cfg.Nh, self.cfg.Nk
-        N, n_nn = q_nn.shape[0], q_nn.shape[1]
+        N = q.shape[0]
+        n_nn = d_nn.shape[1]
         prec = self.precision
         dt = self.dtype
         sdk = jnp.sqrt(jnp.asarray(Nk, dtype=q.dtype))
 
         X_n = jnp.concatenate([q, safe_norm(p, axis=1)], axis=1)
-
-        # shared per-edge features [N, nn, 4S]
-        proj_p = jnp.sum(p[:, None, :, :] * r_nn[:, :, :, None], axis=2)
-        proj_pn = jnp.sum(p_nn * r_nn[:, :, :, None], axis=2)
-        E = jnp.concatenate([q_nn, safe_norm(p_nn, axis=2), proj_p, proj_pn], axis=2)
 
         # edge MLP parameters (tree layout identical to the exact path)
         in_dim = 6 * S + 1
@@ -242,15 +238,25 @@ class StateUpdate(nn.Module):
         B2 = jnp.concatenate([b2q, b2p, b2v]).astype(dt)
 
         if self.pallas:
-            from ..ops.geometric_pallas import fused_edge_attention
+            from ..ops.geometric_pallas import fused_edge_attention, pack_k2_aligned
 
             Q = MLP3((S, S, 2 * Nk * Nh), dt, prec, name="nqm")(X_n)
-            qp_nn = jnp.concatenate([q_nn, p_nn.reshape(N, n_nn, 3 * S)], axis=2)
-            k2p = jnp.zeros((H, 128), dt).at[:, :n_out].set(K2)
-            b2p = jnp.zeros((128,), dt).at[:n_out].set(B2)
+            if qp is None:
+                qp = jnp.concatenate([q, p.reshape(N, 3 * S)], axis=1)
+                qp_t = jnp.swapaxes(
+                    jnp.concatenate([q_nn, p_nn.reshape(N, n_nn, 3 * S)], axis=2),
+                    0, 1,
+                )
+            else:
+                # nn-major gather: same random-read cost as the atom-major
+                # take, but the kernel's neighbor axis lands on the leading
+                # dim with no 537MB transpose in between
+                qp_t = jnp.take(qp, ids.T, axis=0)         # [nn, N, 4S]
+            K2a, B2a = pack_k2_aligned(k2q, k2p, k2v, b2q, b2p, b2v, S, Nk, dt)
             Zq, Zp_flat = fused_edge_attention(
-                qp_nn, d_nn, r_nn, q, p.reshape(N, 3 * S),
-                K0[: 1 + 2 * S], B0, K0[1 + 2 * S :], K1, B1, k2p, b2p, Q,
+                qp_t, d_nn.T, jnp.transpose(r_nn, (1, 0, 2)), q,
+                p.reshape(N, 3 * S),
+                K0[: 1 + 2 * S], B0, K0[1 + 2 * S :], K1, B1, K2a, B2a, Q,
                 S=S, Nh=Nh, Nk=Nk, nn=n_nn,
             )
             qh = MLP3((S, S, S), dt, prec, name="qpm")(Zq)
@@ -258,6 +264,11 @@ class StateUpdate(nn.Module):
                 Zp_flat.reshape(N, 3, Nh * S)
             )
             return q + qh, p + ph
+
+        # shared per-edge features [N, nn, 4S]
+        proj_p = jnp.sum(p[:, None, :, :] * r_nn[:, :, :, None], axis=2)
+        proj_pn = jnp.sum(p_nn * r_nn[:, :, :, None], axis=2)
+        E = jnp.concatenate([q_nn, safe_norm(p_nn, axis=2), proj_p, proj_pn], axis=2)
 
         # layer 0 decomposition: per-edge 4S-contraction + per-atom terms
         per_atom = jnp.einsum("ns,sh->nh", X_n, K0[1 : 1 + 2 * S], precision=prec) + B0
@@ -335,6 +346,17 @@ class StateUpdateLayer(nn.Module):
         # the q and p gathers halves the dominant per-layer cost
         N, S = q.shape
         qp = jnp.concatenate([q, p.reshape(N, 3 * S)], axis=1)  # [N, 4S]
+        if self.pallas and self.fused:
+            # the Pallas path gathers nn-MAJOR itself (jnp.take with
+            # transposed ids inside StateUpdate._fused) — doing the
+            # atom-major gather here would waste the dominant per-layer op
+            q, p = StateUpdate(
+                self.cfg, self.dtype, self.precision, self.fused, self.pallas,
+                name="su",
+            )(q, p, None, None, D_nn[:, :nn_k], R_nn[:, :nn_k, :],
+              qp=qp, ids=ids_topk[:, :nn_k])
+            am = atom_mask.astype(q.dtype)
+            return q * am[:, None], p * am[:, None, None]
         if gather_cand is not None:
             # tile-local one-hot MXU selection (Morton-sorted layout): the
             # one-hot never reaches HBM (XLA fuses the iota-compare into

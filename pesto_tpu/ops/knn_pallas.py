@@ -66,7 +66,7 @@ BIGHALF = np.float32(5e9)
 MARGIN = np.float32(1e-2)
 
 
-def _kernel(na):
+def _kernel(na, k):
     def kernel(XT_ref, SQ_ref, XR_ref, out_ref, vout_ref):
         i = pl.program_id(0)
         XT = XT_ref[:]
@@ -87,7 +87,32 @@ def _kernel(na):
         inband = jnp.minimum(delta, na - delta) <= HALF  # cyclic, like the rolls
         dup = (rows == cols) | (Dsq < 1e-4)
         masked = Dsq + PUSH * dup.astype(jnp.float32)
-        alive_all = (masked <= (thr_i + MARGIN)) & (~inband)
+
+        # per-row TIGHTENED threshold by value bisection (round 3): the
+        # band's 64th-smallest is a valid but LOOSE upper bound — at
+        # Morton discontinuities it admits ~300 off-band candidates per
+        # row and their argmin-knockout dominated the kernel (40 ms vs
+        # 27.5 exact-XLA, round-3 note). 16 bisection steps of a full-row
+        # count tighten hi to within (band_thr/2^16) of the row's true
+        # k-th smallest masked value; the invariant count(masked<=hi)>=k
+        # holds at every step, so hi >= true k-th and exactness is
+        # preserved. The early variant of this idea hung the remote
+        # compiler — root cause was the default 16M scoped-vmem budget
+        # (see ops/geometric_pallas.py docstring), not the bisection.
+        def bis(_, carry):
+            lo, hi = carry
+            t = 0.5 * (lo + hi)
+            cnt = jnp.sum((masked <= t).astype(jnp.int32), axis=1, keepdims=True)
+            ge = cnt >= k
+            return jnp.where(ge, lo, t), jnp.where(ge, t, hi)
+
+        lo0 = jnp.zeros((RB, 1), jnp.float32)
+        _, hi = jax.lax.fori_loop(0, 16, bis, (lo0, thr_i + MARGIN))
+
+        # MARGIN guards the Gram-vs-displacement cancellation skew when
+        # compacted (Gram) values are merged against band (displacement)
+        # values downstream
+        alive_all = (masked <= (hi + MARGIN)) & (~inband)
         val_all = jnp.where(alive_all, masked, BIG)
 
         # per-block max valid Dsq (for the global dup-feature distance)
@@ -178,8 +203,15 @@ def knn_candidates(Xp, atom_mask, k=64):
     # testable without hardware
     interpret = jax.default_backend() != "tpu"
     out, vout = pl.pallas_call(
-        _kernel(NA),
+        _kernel(NA, k),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # the default 16M scoped-vmem budget makes the remote compile
+            # helper die with an opaque HTTP-500 once the [RB, na] f32
+            # working set + transients exceed it (root-caused round 3,
+            # see ops/geometric_pallas.py)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         grid=(NA // RB,),
         out_shape=(jax.ShapeDtypeStruct((NA, W + 256), jnp.int32),
                    jax.ShapeDtypeStruct((NA, W), jnp.float32)),
