@@ -267,14 +267,26 @@ def test_bucketed_loader_worker_processes(tmp_path):
 
 
 def test_build_dataset_parallel_identical(tmp_path):
-    """num_workers parsing must produce an identical dataset file content."""
+    """num_workers parsing must produce an identical dataset file content,
+    and spawning workers must not leak the scrubbed device-plugin env vars
+    (the parent clears them around Pool creation so worker interpreters
+    come up CPU-only even when the TPU tunnel is unhealthy)."""
+    import os
+
     import h5py
 
     pdbs = [_two_chain_pdb(tmp_path, name=f"6ab{c}.pdb1") for c in "cdef"]
     h5_a = str(tmp_path / "ser.h5")
     h5_b = str(tmp_path / "par.h5")
     build_dataset_h5(pdbs, h5_a, progress=False)
+    env_before = {
+        k: os.environ.get(k) for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
     build_dataset_h5(pdbs, h5_b, progress=False, num_workers=2)
+    env_after = {
+        k: os.environ.get(k) for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+    }
+    assert env_after == env_before
 
     with h5py.File(h5_a) as fa, h5py.File(h5_b) as fb:
         ka = sorted(fa["metadata/keys"][:].astype("U"))

@@ -23,7 +23,10 @@ def test_pallas_model_path_matches_xla(monkeypatch):
     monkeypatch.setattr(geometric_pallas, "fused_edge_attention", interp)
 
     base = get_config("i_v4_0", remat=False)
-    cfg_x = base.replace(layers=base.layers[:2])
+    # one layer from each neighbor-count group (8/16/32/64): every group
+    # exercises different kernel tiles, lane slices and softmax widths
+    layers = (base.layers[0], base.layers[4], base.layers[8], base.layers[12])
+    cfg_x = base.replace(layers=layers)
     cfg_p = cfg_x.replace(pallas_edges=True)
 
     params = init_params(cfg_x, na=256, nr=32)
