@@ -22,11 +22,13 @@ from .structure import concatenate_chains, preprocess_structure
 class Predictor:
     """Bucketed jitted inference on padded structures."""
 
-    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact"):
+    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact",
+                 mesh=None):
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params
         self.knn_method = knn_method  # "fast": approx kNN, far-tail swaps only
+        self.mesh = mesh  # data-parallel serving over a device mesh
         # one-hot MXU gather tables: built only when explicitly requested.
         # In bf16 they save ~0.4 ms/layer over the row gather, but SERVING
         # must round-trip the kNN ids to the host to build them (8 MB per
@@ -46,6 +48,36 @@ class Predictor:
         # fusing also lets XLA overlap the kNN of the next lax-scheduled
         # work with nothing blocking on intermediate ids readbacks.
         self._fused_serve = jax.jit(self._knn_forward_sigmoid, static_argnames=("nr",))
+        if mesh is not None:
+            # DATA-PARALLEL SERVING: the fused chunk program (kNN ->
+            # flat-batch forward -> sigmoid) runs under shard_map with the
+            # batch axis split over 'data' and parameters replicated.
+            # Structures are independent, so each device serves its own
+            # shard with ZERO collectives (pinned by
+            # tests/test_serving_mesh.py); throughput scales with the
+            # mesh. predict_batch pads each chunk to a multiple of the
+            # data-axis size.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import replicated_sharding
+
+            self._n_data = int(mesh.shape["data"])
+            self.params = jax.device_put(params, replicated_sharding(mesh))
+
+            def _serve_sharded(params, X, q, M, am, nr=None):
+                fn = lambda p, x, qq, mm, a: self._knn_forward_sigmoid(  # noqa: E731
+                    p, x, qq, mm, a, nr=nr
+                )
+                return shard_map(
+                    fn,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+                    out_specs=P("data"),
+                    check_rep=False,
+                )(params, X, q, M, am)
+
+            self._fused_serve = jax.jit(_serve_sharded, static_argnames=("nr",))
 
     @classmethod
     def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":
@@ -290,12 +322,20 @@ class Predictor:
             # the device while the host encodes the next and drains the
             # oldest (the drain is the only host sync per chunk)
             depth = max(1, int(pipeline_depth))
+            ndev = getattr(self, "_n_data", 1) if self.mesh is not None else 1
             pending = deque()
             for (na, nr), group in buckets.items():
-                bmax = max(1, atoms_per_call // na)
+                # per-device atom budget; chunks padded to a multiple of
+                # the data-axis size by repeating the first structure (the
+                # padded rows' outputs are never collected)
+                bmax = max(ndev, (atoms_per_call * ndev) // na)
+                bmax -= bmax % ndev
                 for k in range(0, len(group), bmax):
                     chunk = group[k : k + bmax]
-                    pending.append((chunk, submit(chunk, na, nr)))
+                    dispatch = chunk
+                    if len(chunk) % ndev:
+                        dispatch = chunk + [chunk[0]] * (ndev - len(chunk) % ndev)
+                    pending.append((chunk, submit(dispatch, na, nr)))
                     if len(pending) > depth:
                         collect(*pending.popleft())
             while pending:
