@@ -230,12 +230,6 @@ class StateUpdate(nn.Module):
         K1 = K1.at[S : 2 * S, S : 2 * S].set(k1p.astype(dt))
         K1 = K1.at[2 * S :, 2 * S :].set(k1v.astype(dt))
         B1 = jnp.concatenate([b1q, b1p, b1v]).astype(dt)
-        n_out = Nk + 3 * Nk + 2 * S  # 3 + 9 + 64 = 76
-        K2 = jnp.zeros((H, n_out), dt)
-        K2 = K2.at[:S, :Nk].set(k2q.astype(dt))
-        K2 = K2.at[S : 2 * S, Nk : 4 * Nk].set(k2p.astype(dt))
-        K2 = K2.at[2 * S :, 4 * Nk :].set(k2v.astype(dt))
-        B2 = jnp.concatenate([b2q, b2p, b2v]).astype(dt)
 
         if self.pallas:
             from ..ops.geometric_pallas import fused_edge_attention, pack_k2_aligned
@@ -264,6 +258,13 @@ class StateUpdate(nn.Module):
                 Zp_flat.reshape(N, 3, Nh * S)
             )
             return q + qh, p + ph
+
+        n_out = Nk + 3 * Nk + 2 * S  # 3 + 9 + 64 = 76
+        K2 = jnp.zeros((H, n_out), dt)
+        K2 = K2.at[:S, :Nk].set(k2q.astype(dt))
+        K2 = K2.at[S : 2 * S, Nk : 4 * Nk].set(k2p.astype(dt))
+        K2 = K2.at[2 * S :, 4 * Nk :].set(k2v.astype(dt))
+        B2 = jnp.concatenate([b2q, b2p, b2v]).astype(dt)
 
         # shared per-edge features [N, nn, 4S]
         proj_p = jnp.sum(p[:, None, :, :] * r_nn[:, :, :, None], axis=2)
