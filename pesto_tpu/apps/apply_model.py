@@ -105,6 +105,9 @@ def main(argv=None):
     probs = pred.predict_batch(structures)
 
     for path, structure, p in zip(keep_paths, structures, probs):
+        if p is None:  # over-bucket / unpredictable structure, already warned
+            print(f"SkipError: {path}: no prediction", file=sys.stderr)
+            continue
         base = os.path.basename(path).split(".")[0]
         out_dir = args.out or os.path.dirname(path) or "."
         os.makedirs(out_dir, exist_ok=True)

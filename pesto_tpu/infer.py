@@ -206,7 +206,10 @@ class Predictor:
     ) -> list:
         """Predict a list of structure records, grouping into per-bucket
         batches for throughput (batch size capped by an atom budget per
-        device call). Returns a list of [n_res_i, C] arrays.
+        device call). Returns a list of [n_res_i, C] arrays; entries for
+        structures that cannot be predicted (over the largest atom/residue
+        bucket) are None, with a warning on stderr — one bad item never
+        fails the batch.
 
         Serving pipeline: host encode (Morton sort + pad) runs in a thread
         pool, then each chunk is ONE fused XLA dispatch (batched kNN ->
@@ -264,10 +267,19 @@ class Predictor:
             buckets: Dict[tuple, list] = {}
             for i, rec in enumerate(recs):
                 n_res = rec[3] if compact else rec[2].shape[1]
-                key = (
-                    pick_bucket(rec[0].shape[0] + 1, ATOM_BUCKETS),
-                    pick_bucket(max(n_res, 1), RES_BUCKETS),
-                )
+                try:
+                    key = (
+                        pick_bucket(rec[0].shape[0] + 1, ATOM_BUCKETS),
+                        pick_bucket(max(n_res, 1), RES_BUCKETS),
+                    )
+                except ValueError as e:
+                    # over-bucket structure: degrade per-item (reference
+                    # returns (None, path) for unusable items,
+                    # src/dataset.py:132-136) instead of failing the batch
+                    import sys as _sys
+
+                    print(f"SizeError: structure {i}: {e}", file=_sys.stderr)
+                    continue
                 buckets.setdefault(key, []).append(i)
             out = [None] * len(structures)
 

@@ -71,3 +71,28 @@ def test_output_layout_matches_reference_golden(outputs):
         # columns outside occupancy/b-factor (which hold the prediction)
         assert rl[:54] == gl[:54], (rl, gl)
         assert rl[76:78] == gl[76:78]
+
+
+def test_predict_batch_isolates_oversize_structures(capsys):
+    """A structure over the largest bucket degrades to a None entry (with
+    a stderr warning) instead of failing the whole batch — the reference's
+    per-item (None, path) pattern, src/dataset.py:132-136."""
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    ok = random_structure_record(n_atoms=40, n_res=8, seed=0)
+    big = dict(random_structure_record(n_atoms=50, n_res=8, seed=1))
+    big["xyz"] = np.random.RandomState(0).rand(40000, 3).astype(np.float32) * 100
+    for k in ("name", "element", "resname", "het_flag", "chain_name"):
+        big[k] = np.resize(np.asarray(big[k]), 40000)
+    big["resid"] = np.arange(40000, dtype=np.int32) // 5
+
+    out = pred.predict_batch([ok, big, ok])
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
+    assert "SizeError" in capsys.readouterr().err
