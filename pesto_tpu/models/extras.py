@@ -30,7 +30,7 @@ def state_max_pool(q, p, M):
     q_max = jnp.max(Mq * q[:, None, :], axis=0)  # [R,S]
     s_ids = jnp.argmax(Mq * s[:, None, :], axis=0)  # [R,3]
     idx = jnp.broadcast_to(s_ids[:, :, None], s_ids.shape + (p.shape[2],))
-    p_max = jnp.take_along_axis(p, idx, axis=0)  # [R,3,S]
+    p_max = jnp.take_along_axis(p, idx, axis=0, mode="clip")  # [R,3,S]
     return q_max, p_max
 
 

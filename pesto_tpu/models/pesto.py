@@ -99,7 +99,7 @@ def unpack_state_features(X, ids_topk, atom_mask, n_real):
     """
     n = jnp.maximum(n_real, 1)
     i_raw = jnp.mod(ids_topk - 1, n)  # ids>=1 -> ids-1 ; id 0 -> n-1 (wrap)
-    Xn = jnp.take(X, i_raw + 1, axis=0)
+    Xn = jnp.take(X, i_raw + 1, axis=0, mode="clip")
     R = Xn - X[:, None, :]
     D = safe_norm(R, axis=2)
     row = atom_mask[:, None]
@@ -245,7 +245,7 @@ class StateUpdate(nn.Module):
                 # nn-major gather: same random-read cost as the atom-major
                 # take, but the kernel's neighbor axis lands on the leading
                 # dim with no 537MB transpose in between
-                qp_t = jnp.take(qp, ids.T, axis=0)         # [nn, N, 4S]
+                qp_t = jnp.take(qp, ids.T, axis=0, mode="clip")  # [nn, N, 4S]
             K2a, B2a = pack_k2_aligned(k2q, k2p, k2v, b2q, b2p, b2v, S, Nk, dt)
             Zq, Zp_flat = fused_edge_attention(
                 qp_t, d_nn.T, jnp.transpose(r_nn, (1, 0, 2)), q,
@@ -365,14 +365,18 @@ class StateUpdateLayer(nn.Module):
             # matmul instead of a row-rate-bound scatter-add
             T, U = gather_cand.shape
             tile = N // T
-            cand_qp = jnp.take(qp, gather_cand, axis=0)          # [T, U, 4S]
+            cand_qp = jnp.take(qp, gather_cand, axis=0, mode="clip")  # [T, U, 4S]
             loc = gather_loc[:, :nn_k].reshape(T, tile * nn_k)
             oh = (loc[:, :, None] == jnp.arange(U)[None, None, :]).astype(qp.dtype)
             qp_nn = jnp.einsum(
                 "tmu,tuf->tmf", oh, cand_qp, precision=self.precision
             ).reshape(N, nn_k, 4 * S)
         else:
-            qp_nn = jnp.take(qp, ids_topk[:, :nn_k], axis=0)     # [N, nn, 4S]
+            # mode="clip": ids are in-bounds by construction; the default
+            # fill mode makes XLA emit a NaN-select over every gathered
+            # element (~23 ms of broadcast_select fusions per forward in
+            # the round-3 profile)
+            qp_nn = jnp.take(qp, ids_topk[:, :nn_k], axis=0, mode="clip")  # [N,nn,4S]
         q_nn = qp_nn[..., :S]
         p_nn = qp_nn[..., S:].reshape(N, nn_k, 3, S)
         q, p = StateUpdate(self.cfg, self.dtype, self.precision, self.fused, self.pallas, name="su")(

@@ -86,7 +86,7 @@ def knn_topology(
             dmax_p = jnp.sqrt(jnp.maximum(dsq_max, 0.0))
 
             def finish(ids, ok, Dmax):
-                r_top = jnp.take(Xp, ids, axis=0) - Xp[:, None, :]
+                r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
                 d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
                 d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
                 d_top = jnp.where(ok, d_top, 0.0)
@@ -200,7 +200,7 @@ def knn_topology(
             neg_top = -jax.lax.bitcast_convert_type(
                 dec & jnp.int32(-(1 << shift)), jnp.float32
             )
-            ids = jnp.take_along_axis(cand, sel, axis=1)
+            ids = jnp.take_along_axis(cand, sel, axis=1, mode="clip")
             if ids.shape[1] < k:  # tiny-L corner: pad like the exact path
                 pad = k - ids.shape[1]
                 ids = jnp.pad(ids, ((0, 0), (0, pad)))
@@ -210,7 +210,7 @@ def knn_topology(
             v1, i1 = jax.lax.top_k(-Dsq.reshape(rb * n_chunks, W), kc)
             gl = i1.reshape(rb, n_chunks, kc) + (jnp.arange(n_chunks) * W)[None, :, None]
             neg_top, i2 = jax.lax.top_k(v1.reshape(rb, n_chunks * kc), k)
-            ids = jnp.take_along_axis(gl.reshape(rb, n_chunks * kc), i2, axis=1)
+            ids = jnp.take_along_axis(gl.reshape(rb, n_chunks * kc), i2, axis=1, mode="clip")
         else:
             neg_top, ids = jax.lax.top_k(-Dsq, k)
         ok = -neg_top < (_BIG * 0.5)
@@ -223,7 +223,7 @@ def knn_topology(
 
     # exact distances / unit displacements for the selected neighbors only,
     # with the reference's self/duplicate masking (src/data_encoding.py:93)
-    r_top = jnp.take(Xp, ids, axis=0) - Xp[:, None, :]
+    r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
     d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
     d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
     d_top = jnp.where(ok, d_top, 0.0)
