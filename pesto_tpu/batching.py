@@ -29,8 +29,11 @@ from .topology import knn_topology
 # hard-caps structures at 8192 atoms (model/config.py:12); the ladder
 # extends beyond it — large buckets validated on-chip, and the atom axis
 # can also shard across devices (parallel/sp.py).
-ATOM_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 8448, 16384, 32768)
-RES_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# mega buckets (65k/131k atoms, 16k residues) serve structures far beyond
+# the reference's 8192-atom cap; warmup() skips them by default and
+# predict_structure_sp shards their atom axis over a mesh
+ATOM_BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 8448, 16384, 32768, 65536, 131072)
+RES_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 NUM_NN = 64
 
 

@@ -147,7 +147,8 @@ class Predictor:
         from .synthetic import random_padded_structure
 
         if buckets is None:
-            buckets = list(zip(ATOM_BUCKETS, RES_BUCKETS))
+            # mega buckets (>32k atoms) compile on demand, not at warmup
+            buckets = [b for b in zip(ATOM_BUCKETS, RES_BUCKETS) if b[0] <= 32768]
         for na, nr in buckets:
             ps = random_padded_structure(
                 n_atoms=min(na - 1, 64), n_res=min(nr, 8),
@@ -181,6 +182,85 @@ class Predictor:
         )
         nr = int(np.sum(np.asarray(ps.res_mask)))
         return self.probabilities(ps)[:nr]
+
+    def predict_structure_sp(self, structure: dict, mesh) -> np.ndarray:
+        """Mega-structure inference: the atom axis shards over the mesh's
+        'model' axis (sequence-parallel analog), so structures beyond any
+        single-chip bucket serve across chips. The kNN topology runs
+        single-device first (blocked Gram form handles any NA); the
+        32-layer forward then runs sharded. Uses compact integer codes
+        when the config is single-vocabulary (the flagship) so host
+        arrays stay O(N). Returns [n_res, C] probabilities."""
+        from .batching import ATOM_BUCKETS, RES_BUCKETS, pick_bucket
+        from .encoding import (
+            encode_features,
+            encode_structure,
+            std_elements,
+            std_names,
+            std_resnames,
+        )
+        from .parallel.mesh import replicated_sharding
+        from .parallel.sp import make_sp_serve
+        from .topology import knn_topology
+
+        flags = self.cfg.feature_flags
+        compact = sum(flags) == 1
+        X = np.asarray(structure["xyz"], dtype=np.float32)
+        n = X.shape[0]
+        if compact:
+            vocab, field = {
+                0: (std_elements, "element"),
+                1: (std_resnames, "resname"),
+                2: (std_names, "name"),
+            }[list(flags).index(True)]
+            code_of = {v: i for i, v in enumerate(vocab)}
+            other = len(vocab)
+            qc = np.fromiter(
+                (code_of.get(v, other) for v in structure[field]), np.int32, n
+            )
+            _, rid = np.unique(np.asarray(structure["resid"]), return_inverse=True)
+            rid = rid.astype(np.int32)
+            n_res = int(rid.max()) + 1 if n else 0
+        else:
+            _, M_dense = encode_structure(structure)
+            feats = encode_features(structure)
+            qdense = np.concatenate(
+                [f for f, fl in zip(feats, flags) if fl], axis=1
+            ).astype(np.float32)
+            n_res = M_dense.shape[1]
+
+        na = pick_bucket(n + 1, ATOM_BUCKETS)
+        nr = pick_bucket(max(n_res, 1), RES_BUCKETS)
+        Xp = np.zeros((na, 3), np.float32)
+        Xp[1 : n + 1] = X
+        am = np.zeros((na,), np.float32)
+        am[1 : n + 1] = 1.0
+        if compact:
+            qp = np.zeros((na,), np.int32)
+            qp[1 : n + 1] = qc
+            Mp = np.zeros((na,), np.int32)
+            Mp[1 : n + 1] = rid
+        else:
+            qp = np.zeros((na, qdense.shape[1]), np.float32)
+            qp[1 : n + 1] = qdense
+            Mp = np.zeros((na, nr), np.float32)
+            Mp[1 : n + 1, :n_res] = M_dense
+
+        nr_static = nr if compact else None
+        cache = getattr(self, "_sp_serve_cache", None)
+        if cache is None or cache[0] is not mesh or cache[1] != nr_static:
+            fn = make_sp_serve(self.cfg, mesh, nr=nr_static)
+            params = jax.device_put(self.params, replicated_sharding(mesh))
+            cache = (mesh, nr_static, fn, params)
+            self._sp_serve_cache = cache
+        _, _, fn, params = cache
+
+        ids = jax.jit(lambda x, a: knn_topology(x, a, k=64,
+                                               method=self.knn_method)[0])(
+            jnp.asarray(Xp), jnp.asarray(am)
+        )
+        probs = fn(params, Xp, ids, qp, Mp, am)
+        return np.asarray(probs)[:n_res]
 
     def predict_pdb_file(self, path: str) -> Tuple[dict, np.ndarray]:
         """Raw PDB or mmCIF file -> (preprocessed merged structure,

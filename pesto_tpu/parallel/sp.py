@@ -88,3 +88,28 @@ def shard_batch_sp(batch, mesh: Mesh):
         res_mask=put(batch.res_mask, batch_only),
         y=put(batch.y, batch_only),
     )
+
+
+def make_sp_serve(cfg: PestoConfig, mesh: Mesh, nr=None):
+    """Single-structure SERVING forward with the atom axis sharded over
+    'model': per-atom arrays (X, ids, feature/membership codes, mask)
+    partition across the mesh, parameters replicate, and the fp32
+    sigmoid'd probabilities come back replicated. Supports the compact
+    integer-code inputs (q codes + residue codes with static nr), which
+    keep host arrays O(N) — a dense M for a 131k-atom structure would be
+    NAxNR f32 (~8.6 GB)."""
+    model = PestoModel(cfg)
+    rep = NamedSharding(mesh, P())
+    atom = NamedSharding(mesh, P("model"))
+
+    # nr is baked into the closure: pjit rejects kwargs (and static
+    # argnames ride on kwargs) once in_shardings is specified
+    def fwd(pp, X, ids, q, M, am):
+        z = model.apply({"params": pp}, X, ids, q, M, am, nr=nr)
+        return jax.nn.sigmoid(z.astype(jax.numpy.float32))
+
+    return jax.jit(
+        fwd,
+        in_shardings=(rep, atom, atom, atom, atom, atom),
+        out_shardings=rep,
+    )

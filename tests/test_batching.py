@@ -8,8 +8,11 @@ def test_bucket_ladder_extends_beyond_reference_cap():
     assert pick_bucket(8193, ATOM_BUCKETS) == 8448
     assert pick_bucket(9000, ATOM_BUCKETS) == 16384
     assert pick_bucket(20000, ATOM_BUCKETS) == 32768
+    # mega buckets for sharded serving (predict_structure_sp)
+    assert pick_bucket(40000, ATOM_BUCKETS) == 65536
+    assert pick_bucket(100000, ATOM_BUCKETS) == 131072
     with pytest.raises(ValueError):
-        pick_bucket(40000, ATOM_BUCKETS)
+        pick_bucket(140000, ATOM_BUCKETS)
 
 
 def test_pad_structure_large():

@@ -87,10 +87,10 @@ def test_predict_batch_isolates_oversize_structures(capsys):
     pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
     ok = random_structure_record(n_atoms=40, n_res=8, seed=0)
     big = dict(random_structure_record(n_atoms=50, n_res=8, seed=1))
-    big["xyz"] = np.random.RandomState(0).rand(40000, 3).astype(np.float32) * 100
+    big["xyz"] = np.random.RandomState(0).rand(140000, 3).astype(np.float32) * 100
     for k in ("name", "element", "resname", "het_flag", "chain_name"):
-        big[k] = np.resize(np.asarray(big[k]), 40000)
-    big["resid"] = np.arange(40000, dtype=np.int32) // 5
+        big[k] = np.resize(np.asarray(big[k]), 140000)
+    big["resid"] = np.arange(140000, dtype=np.int32) // 5
 
     out = pred.predict_batch([ok, big, ok])
     assert out[0] is not None and out[2] is not None

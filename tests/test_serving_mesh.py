@@ -67,3 +67,16 @@ def test_sharded_serve_has_no_collectives(setup):
                  "collective-permute", "all-to-all"):
         hits = re.findall(rf"\b{kind}(?:-start)?(?:\.\d+)? =", text)
         assert not hits, f"DP serving must not communicate: found {kind}"
+
+
+def test_sp_serve_matches_single(setup):
+    """Atom-axis-sharded serving (predict_structure_sp) must reproduce the
+    single-device prediction — the capability that serves mega-structures
+    beyond any single-chip bucket."""
+    mesh, cfg, params = setup
+    rec = random_structure_record(n_atoms=400, n_res=60, seed=7)
+    pred = Predictor(cfg, params)
+    a = pred.predict_structure(dict(rec))
+    b = pred.predict_structure_sp(dict(rec), mesh)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
