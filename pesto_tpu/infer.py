@@ -255,9 +255,13 @@ class Predictor:
             self._sp_serve_cache = cache
         _, _, fn, params = cache
 
-        ids = jax.jit(lambda x, a: knn_topology(x, a, k=64,
-                                               method=self.knn_method)[0])(
-            jnp.asarray(Xp), jnp.asarray(am)
+        if not hasattr(self, "_knn_single_jit"):
+            self._knn_single_jit = jax.jit(
+                lambda x, a, method: knn_topology(x, a, k=64, method=method)[0],
+                static_argnums=2,
+            )
+        ids = self._knn_single_jit(
+            jnp.asarray(Xp), jnp.asarray(am), self.knn_method
         )
         probs = fn(params, Xp, ids, qp, Mp, am)
         return np.asarray(probs)[:n_res]

@@ -72,11 +72,39 @@ def test_sharded_serve_has_no_collectives(setup):
 def test_sp_serve_matches_single(setup):
     """Atom-axis-sharded serving (predict_structure_sp) must reproduce the
     single-device prediction — the capability that serves mega-structures
-    beyond any single-chip bucket."""
-    mesh, cfg, params = setup
+    beyond any single-chip bucket. Uses an n_model=8 mesh so the atom axis
+    is REALLY partitioned 8 ways (a data-axis mesh would leave the 'model'
+    axis at size 1 and shard nothing)."""
+    _, cfg, params = setup
+    mesh = make_mesh(n_model=N_DEV, devices=jax.devices()[:N_DEV])
     rec = random_structure_record(n_atoms=400, n_res=60, seed=7)
     pred = Predictor(cfg, params)
     a = pred.predict_structure(dict(rec))
     b = pred.predict_structure_sp(dict(rec), mesh)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("PESTO_SLOW_TESTS"),
+    reason="gated: 40k-atom structure through the 65536 bucket (minutes on CPU)",
+)
+def test_sp_serve_mega_structure(setup):
+    """A structure beyond the reference's 8192-atom cap AND beyond the 32k
+    single-chip warmup ladder runs through the 65536 mega bucket with the
+    atom axis sharded across the mesh, and its predictions agree with the
+    single-device forward at the same bucket."""
+    _, cfg, params = setup
+    mesh = make_mesh(n_model=N_DEV, devices=jax.devices()[:N_DEV])
+    rng = np.random.RandomState(0)
+    n = 40000
+    rec = dict(random_structure_record(n_atoms=64, n_res=8, seed=1))
+    rec["xyz"] = (rng.rand(n, 3) * 200).astype(np.float32)
+    for k in ("name", "element", "resname", "het_flag", "chain_name"):
+        rec[k] = np.resize(np.asarray(rec[k]), n)
+    rec["resid"] = np.arange(n, dtype=np.int32) // 8
+    pred = Predictor(cfg, params)
+    p_sp = pred.predict_structure_sp(dict(rec), mesh)
+    assert p_sp.shape == (n // 8, cfg.dm_n2)
+    assert np.isfinite(p_sp).all()
+    assert (p_sp > 0).all() and (p_sp < 1).all()
