@@ -39,14 +39,19 @@ typical 40). With W=384 (no overflow on the tested real structure) the
 full pipeline runs 40 ms vs 27.5 ms for the chunked-exact XLA path — the
 tail rows dominate the per-chunk argmin-knockout (its cost is
 sum-over-chunks of the per-block MAX alive count). The fix — a per-row
-exact threshold via in-kernel bit-bisection over a wide window — is
-blocked by the Mosaic toolchain: the bisection variant hangs the remote
-TPU compiler (>590 s, no diagnostic; same kernel minus bisection
-compiles in ~60 s). Two further Mosaic limitations are pinned in
-tests/test_pallas_knn.py: i1 vector loop carries fail scf.for
-legalization, and rank-0 bitcast is unsupported. Revisit when the
-compiler surfaces improve; the kernel + exactness tests + fallback stay
-behind `method="pallas"` so the avenue remains one flag away.
+tight threshold via in-kernel value bisection — now SHIPS in this kernel
+(see the inline comment at the `bis` loop): the first bisection attempt
+hung the remote compiler >590 s, which at the time was attributed to the
+bisection pattern itself, and was later root-caused to the default 16 MB
+scoped-vmem budget (raised here via CompilerParams). CAVEAT: that
+root-cause has not yet been re-confirmed by an on-chip compile of THIS
+kernel — the tunnel has been wedged since — so the hang stays pinned as
+`bisecthang` in docs/MOSAIC_BUGS.md (runnable repro in
+docs/mosaic_repros.py) until bench.py's `knn (exact pallas)` line lands.
+Two further Mosaic limitations are pinned in tests/test_pallas_knn.py:
+i1 vector loop carries fail scf.for legalization, and rank-0 bitcast is
+unsupported. The kernel + exactness tests + fallback stay behind
+`method="pallas"` so the avenue remains one flag away.
 """
 
 import functools
