@@ -1,17 +1,55 @@
-"""AlphaFold DB artifacts: PAE parsing and model-confidence helpers
-(reference interfaceome/download_af_pae.py + model-selection notebook).
-Downloading requires network access (unavailable here) and is stubbed."""
+"""AlphaFold DB artifacts: PAE fetching/parsing and model-confidence
+helpers (reference interfaceome/download_af_pae.py + model-selection
+notebook). The fetcher takes an injectable transport — this environment
+has no egress, so the default transport's failure raises a clear offline
+error, and tests drive the full path through a fake transport."""
 
 import json
+import os
+from typing import Callable, Iterable, List, Optional
 
 import numpy as np
 
+AF_PAE_URL = "https://alphafold.ebi.ac.uk/files/{key}-predicted_aligned_error_{ver}.json"
 
-def download_af_pae(*_a, **_k):
-    raise RuntimeError(
-        "network access is unavailable; place AlphaFold PAE JSON files on "
-        "disk and use parse_pae (reference interfaceome/download_af_pae.py)"
-    )
+
+def download_af_pae(
+    keys: Iterable[str],
+    out_dir: str,
+    version: str = "v4",
+    fetch: Optional[Callable[[str], bytes]] = None,
+    skip_existing: bool = True,
+) -> List[str]:
+    """Fetch AlphaFold PAE JSONs for model keys like 'AF-P12345-F1' and
+    save each as a dense float16 `.npy` next to the reference's layout
+    (`{key}-predicted_aligned_error_{ver}.npy`, reference
+    interfaceome/download_af_pae.py:10-35). Existing files are skipped so
+    interrupted runs resume; keys the server rejects are skipped with a
+    note on stderr (the reference prints the key). Returns written paths."""
+    import sys
+
+    if fetch is None:
+        from .uniprot import _default_fetch
+
+        fetch = _default_fetch
+    os.makedirs(out_dir, exist_ok=True)
+    out = []
+    for key in keys:
+        path = os.path.join(out_dir, f"{key}-predicted_aligned_error_{version}.npy")
+        if skip_existing and os.path.exists(path):
+            out.append(path)
+            continue
+        try:
+            body = fetch(AF_PAE_URL.format(key=key, ver=version))
+        except RuntimeError:
+            raise  # offline — fail loudly
+        except Exception as e:  # noqa: BLE001 — per-item tolerance
+            print(f"af_pae {key}: {e}", file=sys.stderr)
+            continue
+        pae = parse_pae(json.loads(body))
+        np.save(path, pae.astype(np.float16))
+        out.append(path)
+    return out
 
 
 def parse_pae(path_or_record) -> np.ndarray:

@@ -4,24 +4,80 @@ The reference's interfaceome joins predictions with UniProt annotations via
 download_uniprot.py / uniprot_features.py / pack_uniprot.py /
 subcellularlocation.py / uniprot_keywords.py / uniprot_goterms.py. This
 module provides the parsing/packing half against *local* UniProt JSON
-records (the REST api format); downloading requires network access and is
-stubbed with a clear error in this environment.
+records (the REST api format) plus a real fetcher with an injectable
+transport — this environment has no egress, so the default transport's
+failure raises a clear offline error, and tests drive the full download
+path through a fake transport.
 """
 
 import glob
 import json
 import os
-from typing import List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, List, Optional
 
 import numpy as np
 
+UNIPROT_REST_URL = "https://rest.uniprot.org/uniprotkb/{acc}.json"
 
-def download_uniprot(*_args, **_kwargs):
-    raise RuntimeError(
-        "network access is unavailable in this environment; place UniProt "
-        "REST JSON records on disk and use load_uniprot_record/parse_* "
-        "(reference interfaceome/download_uniprot.py)"
-    )
+
+def _default_fetch(url: str, timeout: float = 30.0) -> bytes:
+    """GET `url` via stdlib urllib; translate connectivity failures into
+    the actionable offline message (this host has zero egress)."""
+    import urllib.error
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.read()
+    except (urllib.error.URLError, OSError) as e:
+        raise RuntimeError(
+            f"cannot reach {url} ({e}); this environment has no network "
+            "access — place UniProt REST JSON records on disk and use "
+            "load_uniprot_record/parse_* directly"
+        ) from e
+
+
+def download_uniprot(
+    accessions: Iterable[str],
+    out_dir: str,
+    fetch: Optional[Callable[[str], bytes]] = None,
+    skip_existing: bool = True,
+    num_workers: int = 8,
+) -> List[str]:
+    """Fetch UniProt REST JSON records to `out_dir/<acc>.json`, in worker
+    threads like the reference's 8-process pool (reference
+    interfaceome/download_uniprot.py:9-27 fetched txt/xml/rdf/fasta/gff
+    from the legacy endpoint; this targets the current REST JSON API,
+    which is what parse_features/parse_keywords/... consume). Existing
+    files are skipped so interrupted runs resume. Returns written paths;
+    accessions whose fetch fails with a non-connectivity error are
+    skipped with a note on stderr, mirroring the reference's tolerance of
+    missing entries."""
+    import sys
+
+    fetch = fetch or _default_fetch
+    os.makedirs(out_dir, exist_ok=True)
+
+    def one(acc: str) -> Optional[str]:
+        path = os.path.join(out_dir, f"{acc}.json")
+        if skip_existing and os.path.exists(path):
+            return path
+        try:
+            body = fetch(UNIPROT_REST_URL.format(acc=acc))
+        except RuntimeError:
+            raise  # offline — fail loudly, every other acc would fail too
+        except Exception as e:  # noqa: BLE001 — per-item tolerance
+            print(f"uniprot {acc}: {e}", file=sys.stderr)
+            return None
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(body)
+        os.replace(tmp, path)
+        return path
+
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        return [p for p in pool.map(one, list(accessions)) if p]
 
 
 def load_uniprot_record(path: str) -> dict:

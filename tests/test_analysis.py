@@ -132,3 +132,64 @@ def test_cluster_md_interface_patterns():
     labels, centers = cluster_md_interface_patterns(probs, n_clusters=2)
     assert len(set(labels[:20])) == 1
     assert labels[0] != labels[25]
+
+
+def test_download_uniprot_fake_transport(tmp_path):
+    """The full fetch path (URL construction, atomic write, skip-existing,
+    per-item tolerance) driven through an injected transport — no network."""
+    from pesto_tpu.analysis.uniprot import UNIPROT_REST_URL, download_uniprot
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        acc = url.rsplit("/", 1)[1][:-5]
+        if acc == "BAD404":
+            raise ValueError("HTTP 404")
+        return json.dumps({"sequence": {"value": "MKT"}, "keywords": []}).encode()
+
+    out = download_uniprot(["P12345", "BAD404"], str(tmp_path), fetch=fetch,
+                           num_workers=1)
+    assert out == [str(tmp_path / "P12345.json")]
+    assert calls[0] == UNIPROT_REST_URL.format(acc="P12345")
+    assert json.loads((tmp_path / "P12345.json").read_text())["sequence"]["value"] == "MKT"
+    # skip_existing: a second run touches no transport for the written acc
+    calls.clear()
+    out2 = download_uniprot(["P12345"], str(tmp_path), fetch=fetch, num_workers=1)
+    assert out2 == out and calls == []
+
+
+def test_download_af_pae_fake_transport(tmp_path):
+    from pesto_tpu.analysis.afdb import AF_PAE_URL, download_af_pae
+
+    rec = [{"residue1": [1, 1, 2, 2], "residue2": [1, 2, 1, 2],
+            "distance": [0.0, 7.0, 7.0, 0.0]}]
+    seen = []
+
+    def fetch(url):
+        seen.append(url)
+        return json.dumps(rec).encode()
+
+    paths = download_af_pae(["AF-P12345-F1"], str(tmp_path), version="v4", fetch=fetch)
+    assert seen == [AF_PAE_URL.format(key="AF-P12345-F1", ver="v4")]
+    pae = np.load(paths[0])
+    assert pae.dtype == np.float16 and pae.shape == (2, 2) and pae[0, 1] == 7.0
+    # resume: no refetch
+    seen.clear()
+    assert download_af_pae(["AF-P12345-F1"], str(tmp_path), fetch=fetch) == paths
+    assert seen == []
+
+
+def test_download_offline_error_is_actionable(tmp_path, monkeypatch):
+    """With the DEFAULT transport and no egress, the failure must name the
+    remedy (local files + parse_*) instead of a bare socket error."""
+    import urllib.error
+
+    from pesto_tpu.analysis import uniprot as up
+
+    monkeypatch.setattr(
+        "urllib.request.urlopen",
+        lambda *a, **k: (_ for _ in ()).throw(urllib.error.URLError("blocked")),
+    )
+    with pytest.raises(RuntimeError, match="place UniProt REST JSON"):
+        up.download_uniprot(["P12345"], str(tmp_path), num_workers=1)
