@@ -38,7 +38,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("inputs", nargs="+", help="PDB files, globs, or directories")
     parser.add_argument("--out", default=None, help="output dir (default: next to input)")
-    parser.add_argument("--model", default="i_v4_1", help="config preset name")
+    parser.add_argument("--model", default=None,
+                        help="config preset name (default: inferred from "
+                             "--ckpt tensor shapes, else i_v4_1)")
     parser.add_argument("--ckpt", default=None, help="reference torch .pt checkpoint")
     parser.add_argument("--orbax", default=None, help="orbax checkpoint dir")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
@@ -61,7 +63,19 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    cfg = get_config(args.model, remat=False)
+    if args.model is None and args.ckpt:
+        # infer the variant from the checkpoint so a bare --ckpt works
+        # (a wrong preset used to die in a flax scope error)
+        from ..port import infer_variant
+
+        import torch
+
+        args.model = infer_variant(
+            torch.load(args.ckpt, map_location="cpu", weights_only=True)
+        )
+        print(f"model variant inferred from checkpoint: {args.model}",
+              file=sys.stderr)
+    cfg = get_config(args.model or "i_v4_1", remat=False)
     if args.bf16:
         cfg = cfg.replace(dtype="bfloat16", precision="default")
 

@@ -80,8 +80,14 @@ class Predictor:
             self._fused_serve = jax.jit(_serve_sharded, static_argnames=("nr",))
 
     @classmethod
-    def from_reference_checkpoint(cls, path: str, cfg: PestoConfig) -> "Predictor":
-        return cls(cfg, load_reference_checkpoint(path, cfg))
+    def from_reference_checkpoint(cls, path: str, cfg: PestoConfig = None,
+                                  **kw) -> "Predictor":
+        """cfg=None infers the variant from the checkpoint's tensor shapes
+        (port.infer_variant), so callers need only the .pt path."""
+        if cfg is None:
+            params, cfg = load_reference_checkpoint(path)
+            return cls(cfg, params, **kw)
+        return cls(cfg, load_reference_checkpoint(path, cfg), **kw)
 
     def _apply(self, params, X, ids, q, M, am, cand=None, loc=None, nr=None):
         return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc, nr=nr)

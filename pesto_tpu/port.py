@@ -7,7 +7,7 @@ kernels are [in, out], so weights are transposed. The sdk buffer
 (sqrt(Nk), constant) and m_nn (arange) buffers are recomputed, not ported.
 """
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -92,11 +92,58 @@ def torch_state_dict_to_params(state_dict, cfg: PestoConfig) -> Dict:
     return params
 
 
-def load_reference_checkpoint(path: str, cfg: PestoConfig) -> Dict:
-    """Load a reference .pt checkpoint (requires torch, CPU-only)."""
+def infer_variant(state_dict) -> str:
+    """Identify the reference preset from checkpoint tensor shapes — the
+    em input width (30 element-only vs 123 full-feature), the layer
+    count, and the decoder's class count (reference README.md:82-86
+    variant table). Lets CLIs accept a bare --ckpt without the user
+    knowing which variant trained it; a mismatched preset otherwise
+    surfaces as an opaque flax scope error deep in apply()."""
+    em_in = int(state_dict["em.0.weight"].shape[1])
+    n_layers = 1 + max(
+        int(k.split(".")[1]) for k in state_dict if k.startswith("sum.")
+    )
+    dm_keys = [k for k in state_dict if k.startswith("dm.") and k.endswith(".weight")]
+    dm_out = int(state_dict[max(dm_keys, key=lambda k: int(k.split(".")[1]))].shape[0])
+    name = {
+        (30, 32, 5): "i_v4_1",
+        (30, 16, 5): "i_v4_0",
+        (123, 16, 5): "i_v3_0",
+        (123, 16, 1): "i_v3_1",
+    }.get((em_in, n_layers, dm_out))
+    if name is None:
+        raise ValueError(
+            f"unrecognized checkpoint: em input {em_in}, {n_layers} layers, "
+            f"{dm_out} classes — known variants are i_v3_0/i_v3_1/i_v4_0/i_v4_1"
+        )
+    return name
+
+
+def load_reference_checkpoint(path: str, cfg: Optional[PestoConfig] = None):
+    """Load a reference .pt checkpoint (requires torch, CPU-only). With
+    cfg=None the variant is inferred from the tensor shapes and the
+    (params, cfg) pair is returned; with an explicit cfg only the params
+    are returned (and a variant mismatch raises with both names instead
+    of failing opaquely inside flax)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    name = infer_variant(sd)
+    from .models.config import get_config
+
+    if cfg is None:
+        inferred = get_config(name, remat=False)
+        return torch_state_dict_to_params(sd, inferred), inferred
+    expect = get_config(name)
+    if (cfg.em_n0, len(cfg.layers), cfg.dm_n2) != (
+        expect.em_n0, len(expect.layers), expect.dm_n2
+    ):
+        raise ValueError(
+            f"checkpoint {path} is variant {name} "
+            f"(em {expect.em_n0}, {len(expect.layers)} layers, {expect.dm_n2} "
+            f"classes) but the requested config has em {cfg.em_n0}, "
+            f"{len(cfg.layers)} layers, {cfg.dm_n2} classes"
+        )
     return torch_state_dict_to_params(sd, cfg)
 
 

@@ -222,3 +222,28 @@ def test_forward_parity_second_structure(torch_reference, predictor, example_com
     z = np.asarray(predictor.logits(ps))[: M.shape[1]]
     perr = np.abs(jax.nn.sigmoid(z) - 1 / (1 + np.exp(-z_ref))).max()
     assert perr < 1e-5, f"probability err {perr}"
+
+
+def test_infer_variant_from_checkpoints():
+    """Every present reference checkpoint identifies itself from tensor
+    shapes alone, so CLIs work with a bare --ckpt (port.infer_variant)."""
+    from pesto_tpu.models import get_config
+    from pesto_tpu.port import infer_variant, load_reference_checkpoint
+
+    import torch
+
+    base = "/root/reference/model/save"
+    for run, want in [
+        ("i_v3_0_2021-05-27_14-27", "i_v3_0"),
+        ("i_v3_1_2021-05-28_12-40", "i_v3_1"),
+        ("i_v4_0_2021-09-07_11-20", "i_v4_0"),
+    ]:
+        path = f"{base}/{run}/model.pt"
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        assert infer_variant(sd) == want
+
+    # cfg=None returns (params, cfg); a wrong explicit cfg raises clearly
+    params, cfg = load_reference_checkpoint(CKPT)
+    assert cfg.em_n0 == 30 and len(cfg.layers) == 16
+    with pytest.raises(ValueError, match="variant i_v4_0"):
+        load_reference_checkpoint(CKPT, get_config("i_v3_0"))
