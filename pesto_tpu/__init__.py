@@ -30,6 +30,7 @@ _LAZY = {
     "read_pdb": ("pesto_tpu.io", "read_pdb"),
     "save_pdb": ("pesto_tpu.io", "save_pdb"),
     "load_reference_checkpoint": ("pesto_tpu.port", "load_reference_checkpoint"),
+    "infer_variant": ("pesto_tpu.port", "infer_variant"),
 }
 
 
