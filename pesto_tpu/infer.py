@@ -219,11 +219,9 @@ class Predictor:
                 1: (std_resnames, "resname"),
                 2: (std_names, "name"),
             }[list(flags).index(True)]
-            code_of = {v: i for i, v in enumerate(vocab)}
-            other = len(vocab)
-            qc = np.fromiter(
-                (code_of.get(v, other) for v in structure[field]), np.int32, n
-            )
+            from .encoding import vocab_codes
+
+            qc = vocab_codes(structure[field], vocab)
             _, rid = np.unique(np.asarray(structure["resid"]), return_inverse=True)
             rid = rid.astype(np.int32)
             n_res = int(rid.max()) + 1 if n else 0
@@ -336,17 +334,15 @@ class Predictor:
             if compact:
                 k = list(flags).index(True)
                 vocab, field = vocabs[k], fields[k]
-                code_of = {v: i for i, v in enumerate(vocab)}
-                other = len(vocab)
-                assert self.cfg.em_n0 == other + 1
+                assert self.cfg.em_n0 == len(vocab) + 1
 
             def host_encode(s):
                 X = np.asarray(s["xyz"], dtype=np.float32)
                 if compact:
+                    from .encoding import vocab_codes
+
                     _, rid = np.unique(np.asarray(s["resid"]), return_inverse=True)
-                    qc = np.fromiter(
-                        (code_of.get(v, other) for v in s[field]), np.int32, len(X)
-                    )
+                    qc = vocab_codes(s[field], vocab)
                     return X, qc, rid.astype(np.int32), int(rid.max()) + 1
                 Xd, M = encode_structure(s)
                 feats = encode_features(s)

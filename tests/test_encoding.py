@@ -39,3 +39,23 @@ def test_encode_structure_and_features(example_pdb):
     assert np.all(M.sum(axis=1) == 1)  # each atom in exactly one residue
     assert qe.shape == (n, 30) and qr.shape == (n, 29) and qn.shape == (n, 64)
     assert np.all(qe.sum(axis=1) == 1)
+
+
+def test_vocab_codes_matches_onehot_argmax():
+    """vocab_codes (vectorized searchsorted lookup) must agree with the
+    reference-semantics onehot for every vocab, including unknowns."""
+    from pesto_tpu.encoding import (
+        onehot,
+        std_elements,
+        std_names,
+        std_resnames,
+        vocab_codes,
+    )
+
+    rng = np.random.RandomState(0)
+    for vocab in (std_elements, std_resnames, std_names):
+        pool = list(vocab) + ["ZZ9", "", "X!"]
+        vals = np.array([pool[i] for i in rng.randint(0, len(pool), 500)])
+        codes = vocab_codes(vals, vocab)
+        want = np.argmax(onehot(vals, vocab), axis=1)
+        np.testing.assert_array_equal(codes, want)
