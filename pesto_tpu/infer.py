@@ -349,9 +349,27 @@ class Predictor:
                 q = np.concatenate([f for f, fl in zip(feats, flags) if fl], axis=1)
                 return Xd, q, M
 
-            recs = list(pool.map(host_encode, structures))
+            def host_encode_safe(arg):
+                """Per-item tolerance: a malformed record (empty xyz,
+                missing field, ...) degrades to None instead of raising
+                out of pool.map and failing the whole batch — the
+                documented contract (reference returns (None, path) for
+                unusable items, src/dataset.py:132-136)."""
+                i, s = arg
+                try:
+                    return host_encode(s)
+                except Exception as e:  # noqa: BLE001 — per-item contract
+                    import sys as _sys
+
+                    print(f"EncodeError: structure {i}: {type(e).__name__}: {e}",
+                          file=_sys.stderr)
+                    return None
+
+            recs = list(pool.map(host_encode_safe, enumerate(structures)))
             buckets: Dict[tuple, list] = {}
             for i, rec in enumerate(recs):
+                if rec is None:
+                    continue
                 n_res = rec[3] if compact else rec[2].shape[1]
                 try:
                     key = (

@@ -96,3 +96,27 @@ def test_predict_batch_isolates_oversize_structures(capsys):
     assert out[0] is not None and out[2] is not None
     assert out[1] is None
     assert "SizeError" in capsys.readouterr().err
+
+
+def test_predict_batch_isolates_malformed_structures(capsys):
+    """A record the host encode cannot process (empty coordinates) also
+    degrades per-item: the encode exception must not escape pool.map and
+    fail the batch."""
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    ok = random_structure_record(n_atoms=40, n_res=8, seed=0)
+    empty = dict(random_structure_record(n_atoms=4, n_res=2, seed=1))
+    empty["xyz"] = np.zeros((0, 3), np.float32)
+    for k in ("name", "element", "resname", "het_flag", "chain_name", "resid"):
+        empty[k] = np.asarray(empty[k])[:0]
+
+    out = pred.predict_batch([ok, empty, ok])
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
+    assert "EncodeError" in capsys.readouterr().err
