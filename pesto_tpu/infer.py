@@ -307,18 +307,34 @@ class Predictor:
         `pipeline_depth` chunks stay in flight on the device while the
         host encodes the next one and reads back the oldest (BatchEncoder
         double-buffers host arrays for exactly this)."""
-        import dataclasses
-        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+
+        from .batching import BatchEncoder
+
+        pool = ThreadPoolExecutor(num_threads)
+        if not hasattr(self, "_pb_lock"):
+            import threading
+
+            self._pb_lock = threading.Lock()
+        if not hasattr(self, "_batch_encoder"):
+            self._batch_encoder = BatchEncoder(num_threads)
+        # one predict_batch at a time per Predictor: the BatchEncoder's
+        # double-buffered host arrays are reused across chunks, so two
+        # concurrent calls would overwrite each other's staging buffers
+        with self._pb_lock:
+            return self._predict_batch_locked(
+                structures, atoms_per_call, pool, pipeline_depth
+            )
+
+    def _predict_batch_locked(self, structures, atoms_per_call, pool,
+                              pipeline_depth):
+        from collections import deque
 
         import jax
 
-        from .batching import ATOM_BUCKETS, RES_BUCKETS, BatchEncoder, pick_bucket
+        from .batching import ATOM_BUCKETS, RES_BUCKETS, pick_bucket
         from .encoding import encode_features, encode_structure
 
-        pool = ThreadPoolExecutor(num_threads)
-        if not hasattr(self, "_batch_encoder"):
-            self._batch_encoder = BatchEncoder(num_threads)
         try:
 
             from .encoding import std_elements, std_names, std_resnames

@@ -120,3 +120,30 @@ def test_predict_batch_isolates_malformed_structures(capsys):
     assert out[0] is not None and out[2] is not None
     assert out[1] is None
     assert "EncodeError" in capsys.readouterr().err
+
+
+def test_predict_batch_concurrent_calls_are_safe():
+    """Two threads sharing one Predictor must not corrupt each other via
+    the reused BatchEncoder staging buffers (predict_batch serializes on
+    a per-Predictor lock)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    recs_a = [random_structure_record(n_atoms=40, n_res=8, seed=i) for i in range(4)]
+    recs_b = [random_structure_record(n_atoms=60, n_res=12, seed=10 + i) for i in range(4)]
+    want_a = pred.predict_batch(recs_a)
+    want_b = pred.predict_batch(recs_b)
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(pred.predict_batch, recs_a)
+        fb = ex.submit(pred.predict_batch, recs_b)
+        got_a, got_b = fa.result(), fb.result()
+    for got, want in ((got_a, want_a), (got_b, want_b)):
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-6)
