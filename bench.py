@@ -71,36 +71,13 @@ def bench_forward(pred, batch):
 
 
 def _wait_for_device(max_wait_s=1200, probe_timeout_s=60):
-    """Block until the device backend initializes, surviving a wedged TPU
-    tunnel (a killed process can leave a stale relay claim that makes
-    backend init hang until the claim times out — measured round 3). Each
-    probe runs in a SUBPROCESS so a hang is killable; retries sleep until
-    the relay recovers or the budget runs out."""
-    import subprocess
-    import sys
+    """Shared killable-subprocess probe (pesto_tpu.utils.device): block
+    until the device backend initializes, surviving a wedged TPU tunnel
+    (a killed process can leave a stale relay claim that makes backend
+    init hang until the claim times out — measured round 3)."""
+    from pesto_tpu.utils import wait_for_device
 
-    t0 = time.time()
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; print(float(jnp.ones(3).sum()))"],
-                timeout=probe_timeout_s, capture_output=True,
-            )
-            if r.returncode == 0:
-                if attempt > 1:
-                    log(f"device recovered after {time.time()-t0:.0f}s")
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        waited = time.time() - t0
-        if waited > max_wait_s:
-            log(f"device unavailable after {waited:.0f}s; proceeding anyway")
-            return False
-        log(f"device probe {attempt} failed (tunnel wedged?); retrying...")
-        time.sleep(60)
+    return wait_for_device(max_wait_s, probe_timeout_s, log=log)
 
 
 def main():

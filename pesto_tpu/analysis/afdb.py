@@ -41,13 +41,15 @@ def download_af_pae(
             continue
         try:
             body = fetch(AF_PAE_URL.format(key=key, ver=version))
+            pae = parse_pae(json.loads(body))  # malformed body = that item only
         except RuntimeError:
             raise  # offline — fail loudly
         except Exception as e:  # noqa: BLE001 — per-item tolerance
             print(f"af_pae {key}: {e}", file=sys.stderr)
             continue
-        pae = parse_pae(json.loads(body))
-        np.save(path, pae.astype(np.float16))
+        tmp = path + ".tmp.npy"
+        np.save(tmp, pae.astype(np.float16))
+        os.replace(tmp, path)  # atomic: skip_existing never trusts a torso
         out.append(path)
     return out
 

@@ -63,24 +63,28 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    if args.model is None and args.ckpt:
-        # infer the variant from the checkpoint so a bare --ckpt works
-        # (a wrong preset used to die in a flax scope error)
-        from ..port import infer_variant
-
-        import torch
-
-        args.model = infer_variant(
-            torch.load(args.ckpt, map_location="cpu", weights_only=True)
-        )
-        print(f"model variant inferred from checkpoint: {args.model}",
-              file=sys.stderr)
-    cfg = get_config(args.model or "i_v4_1", remat=False)
-    if args.bf16:
-        cfg = cfg.replace(dtype="bfloat16", precision="default")
-
     knn_method = "fast" if args.fast_knn else "exact"
-    if args.ckpt:
+    if args.model is None and args.ckpt:
+        # infer the variant from the checkpoint's tensor shapes (a wrong
+        # preset used to die in a flax scope error); single torch.load
+        from ..port import load_reference_checkpoint
+
+        params, cfg = load_reference_checkpoint(args.ckpt)
+        print(f"model variant inferred from checkpoint: em {cfg.em_n0}, "
+              f"{len(cfg.layers)} layers, {cfg.dm_n2} classes",
+              file=sys.stderr)
+        if args.bf16:
+            cfg = cfg.replace(dtype="bfloat16", precision="default")
+        pred = Predictor(cfg, params, knn_method=knn_method)
+    else:
+        cfg = get_config(args.model or "i_v4_1", remat=False)
+        if args.bf16:
+            cfg = cfg.replace(dtype="bfloat16", precision="default")
+        pred = None
+
+    if pred is not None:
+        pass
+    elif args.ckpt:
         pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
         pred.knn_method = knn_method
     elif args.orbax:

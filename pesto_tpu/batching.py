@@ -217,20 +217,21 @@ class BatchEncoder:
     buffers per (B, na, nr, F) signature and has worker threads write each
     structure's rows in place — no per-call allocation, no stack copy.
 
-    DOUBLE-buffered per signature: consecutive encode() calls with the
-    same shape alternate between two buffer sets, so a software-pipelined
-    consumer may keep ONE previous batch in flight while the next encodes
-    (on the CPU backend jnp.asarray can alias numpy memory, so the
-    in-flight batch's buffers must not be overwritten). NOT thread-safe
-    across concurrent encode() calls on the same instance; the internal
-    fill of one call is threaded.
+    MULTI-buffered per signature: consecutive encode() calls with the
+    same shape rotate through `n_sets` buffer sets, so a software-
+    pipelined consumer may keep `n_sets - 1` previous batches in flight
+    while the next encodes (on the CPU backend jnp.asarray can alias
+    numpy memory, so an in-flight batch's buffers must not be
+    overwritten — a consumer holding `depth` pending batches needs
+    n_sets >= depth + 1). NOT thread-safe across concurrent encode()
+    calls on the same instance; the internal fill of one call is
+    threaded.
     """
 
-    N_SETS = 2  # pipeline depth 1 consumer + 1 being filled
-
-    def __init__(self, num_threads: int = 8):
+    def __init__(self, num_threads: int = 8, n_sets: int = 2):
         from concurrent.futures import ThreadPoolExecutor
 
+        self.n_sets = max(2, int(n_sets))
         self._buffers = {}
         self._flip = {}
         self._pool = ThreadPoolExecutor(num_threads)
@@ -239,7 +240,7 @@ class BatchEncoder:
         self._pool.shutdown(wait=False)
 
     def _get(self, key):
-        self._flip[key] = (self._flip.get(key, -1) + 1) % self.N_SETS
+        self._flip[key] = (self._flip.get(key, -1) + 1) % self.n_sets
         slot = (key, self._flip[key])
         if slot not in self._buffers:
             B, na, nr, F, compact = key

@@ -24,6 +24,11 @@ class Predictor:
 
     def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact",
                  mesh=None):
+        import threading
+
+        # created eagerly: a lazy check-then-set would race on the first
+        # pair of concurrent predict_batch calls
+        self._pb_lock = threading.Lock()
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params
@@ -93,16 +98,13 @@ class Predictor:
         return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc, nr=nr)
 
     def _knn_forward_sigmoid(self, params, X, q, M, am, nr=None):
-        """Whole serving chunk as one XLA program: vmapped kNN topology,
-        flat-batch forward, fp32 sigmoid. X/am: [B, NA(,3)]."""
-        import functools
+        """Whole serving chunk as one XLA program: batched kNN topology,
+        flat-batch forward, fp32 sigmoid. X/am: [B, NA(,3)].
+        knn_topology_batch (not a bare vmap) keeps the pallas method's
+        overflow fallback a real scalar-cond branch."""
+        from .topology import knn_topology_batch
 
-        from .topology import knn_topology
-
-        ids = jax.vmap(
-            functools.partial(knn_topology, k=64, method=self.knn_method),
-            in_axes=(0, 0),
-        )(X, am)[0]
+        ids = knn_topology_batch(X, am, k=64, method=self.knn_method)[0]
         z = self.model.apply({"params": params}, X, ids, q, M, am, nr=nr)
         return jax.nn.sigmoid(z.astype(jnp.float32))
 
@@ -251,13 +253,18 @@ class Predictor:
             Mp[1 : n + 1, :n_res] = M_dense
 
         nr_static = nr if compact else None
+        # keyed cache: alternating residue buckets (or meshes) must not
+        # evict each other's compiled sharded forward or re-replicate the
+        # params per call
         cache = getattr(self, "_sp_serve_cache", None)
-        if cache is None or cache[0] is not mesh or cache[1] != nr_static:
+        if cache is None:
+            cache = self._sp_serve_cache = {}
+        key = (id(mesh), nr_static)
+        if key not in cache:
             fn = make_sp_serve(self.cfg, mesh, nr=nr_static)
             params = jax.device_put(self.params, replicated_sharding(mesh))
-            cache = (mesh, nr_static, fn, params)
-            self._sp_serve_cache = cache
-        _, _, fn, params = cache
+            cache[key] = (mesh, fn, params)
+        _, fn, params = cache[key]
 
         if not hasattr(self, "_knn_single_jit"):
             self._knn_single_jit = jax.jit(
@@ -312,16 +319,20 @@ class Predictor:
         from .batching import BatchEncoder
 
         pool = ThreadPoolExecutor(num_threads)
-        if not hasattr(self, "_pb_lock"):
-            import threading
-
-            self._pb_lock = threading.Lock()
-        if not hasattr(self, "_batch_encoder"):
-            self._batch_encoder = BatchEncoder(num_threads)
         # one predict_batch at a time per Predictor: the BatchEncoder's
-        # double-buffered host arrays are reused across chunks, so two
-        # concurrent calls would overwrite each other's staging buffers
+        # buffered host arrays are reused across chunks, so two concurrent
+        # calls would overwrite each other's staging buffers
         with self._pb_lock:
+            # the encoder must rotate depth+1 buffer sets: a consumer
+            # holding `depth` pending chunks re-encodes into chunk
+            # k-depth's slot otherwise, overwriting buffers the CPU
+            # backend may still alias into the in-flight computation
+            need_sets = max(2, int(pipeline_depth) + 1)
+            enc = getattr(self, "_batch_encoder", None)
+            if enc is None or enc.n_sets < need_sets:
+                if enc is not None:
+                    enc.close()
+                self._batch_encoder = BatchEncoder(num_threads, n_sets=need_sets)
             return self._predict_batch_locked(
                 structures, atoms_per_call, pool, pipeline_depth
             )
@@ -477,7 +488,8 @@ class Predictor:
             pool.shutdown(wait=False)
 
     def _batched_knn(self, Xb, ab):
-        """Vmapped kNN over a stacked bucket batch (one compiled call)."""
+        """Batched kNN over a stacked bucket batch (one compiled call;
+        knn_topology_batch keeps the pallas overflow cond scalar)."""
         import functools
 
         import jax
@@ -486,12 +498,9 @@ class Predictor:
             self._knn_jit = {}
         key = (Xb.shape[1], self.knn_method)
         if key not in self._knn_jit:
-            from .topology import knn_topology
+            from .topology import knn_topology_batch
 
             self._knn_jit[key] = jax.jit(
-                jax.vmap(
-                    functools.partial(knn_topology, k=64, method=self.knn_method),
-                    in_axes=(0, 0),
-                )
+                functools.partial(knn_topology_batch, k=64, method=self.knn_method)
             )
         return self._knn_jit[key](Xb, ab)[0]

@@ -128,22 +128,29 @@ def load_reference_checkpoint(path: str, cfg: Optional[PestoConfig] = None):
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    name = infer_variant(sd)
     from .models.config import get_config
 
     if cfg is None:
-        inferred = get_config(name, remat=False)
+        inferred = get_config(infer_variant(sd), remat=False)
         return torch_state_dict_to_params(sd, inferred), inferred
-    expect = get_config(name)
-    if (cfg.em_n0, len(cfg.layers), cfg.dm_n2) != (
-        expect.em_n0, len(expect.layers), expect.dm_n2
-    ):
-        raise ValueError(
-            f"checkpoint {path} is variant {name} "
-            f"(em {expect.em_n0}, {len(expect.layers)} layers, {expect.dm_n2} "
-            f"classes) but the requested config has em {cfg.em_n0}, "
-            f"{len(cfg.layers)} layers, {cfg.dm_n2} classes"
-        )
+    # explicit cfg: the variant check is ADVISORY — a checkpoint outside
+    # the 4 known presets (custom head, truncated stack) must still load
+    # as long as its tensor names/shapes match the supplied config
+    try:
+        name = infer_variant(sd)
+    except (ValueError, KeyError):
+        name = None
+    if name is not None:
+        expect = get_config(name)
+        if (cfg.em_n0, len(cfg.layers), cfg.dm_n2) != (
+            expect.em_n0, len(expect.layers), expect.dm_n2
+        ):
+            raise ValueError(
+                f"checkpoint {path} is variant {name} "
+                f"(em {expect.em_n0}, {len(expect.layers)} layers, {expect.dm_n2} "
+                f"classes) but the requested config has em {cfg.em_n0}, "
+                f"{len(cfg.layers)} layers, {cfg.dm_n2} classes"
+            )
     return torch_state_dict_to_params(sd, cfg)
 
 

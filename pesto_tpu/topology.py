@@ -32,6 +32,66 @@ import numpy as np
 _BIG = jnp.float32(1e10)
 
 
+def _knn_pallas_parts(Xp, atom_mask, k):
+    """Run the threshold-compaction kernel and finish the topology
+    (distances + unit displacements). Returns ((ids, D, R), overflow) or
+    None when the bucket shape is outside the kernel's envelope. The
+    overflow flag is returned, not branched on — callers pick the cond
+    granularity (per structure, or one scalar across a batch)."""
+    from .ops.knn_pallas import HALF, RB, knn_candidates, knn_select
+
+    NA = Xp.shape[0]
+    if not (NA % RB == 0 and NA >= 2 * HALF + RB and k <= 2 * HALF):
+        return None
+    cand_ids, cand_vals, overflow, dsq_max = knn_candidates(Xp, atom_mask, k=k)
+    ids, ok = knn_select(cand_ids, cand_vals, atom_mask.astype(jnp.float32), k)
+    Dmax = jnp.sqrt(jnp.maximum(dsq_max, 0.0))
+    r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
+    d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
+    d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
+    d_top = jnp.where(ok, d_top, 0.0)
+    r_top = jnp.where(
+        ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0
+    )
+    return (ids, d_top, r_top), overflow
+
+
+@functools.partial(jax.jit, static_argnames=("k", "method"))
+def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
+                       method: str = "exact"):
+    """Batched kNN topology [B, NA, ...] -> ([B, NA, k], ...).
+
+    For method="pallas" this exists for a semantic reason, not
+    convenience: vmapping knn_topology would batch the per-structure
+    overflow predicate, turning its lax.cond into a select that runs the
+    Pallas kernel AND the full exact path for every batch. Here the
+    kernel vmaps and ONE scalar cond (any structure overflowed) picks the
+    exact path for the whole batch — overflow is rare (W=384 covers the
+    measured Morton-discontinuity tails), so the common case runs the
+    kernel alone."""
+    if method == "pallas":
+        from .ops.knn_pallas import HALF, RB
+
+        NA = Xb.shape[1]
+        if NA % RB == 0 and NA >= 2 * HALF + RB and k <= 2 * HALF:
+            (ids_p, d_p, r_p), overflow = jax.vmap(
+                lambda X, am: _knn_pallas_parts(X, am, k)
+            )(Xb, atom_mask_b)
+            exact = lambda _: jax.vmap(  # noqa: E731
+                lambda X, am: knn_topology(X, am, k=k, method="exact")
+            )(Xb, atom_mask_b)
+            return jax.lax.cond(
+                jnp.any(overflow),
+                exact,
+                lambda _: (ids_p, d_p, r_p),
+                operand=None,
+            )
+        method = "exact"
+    return jax.vmap(lambda X, am: knn_topology(X, am, k=k, method=method))(
+        Xb, atom_mask_b
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "row_block", "method"))
 def knn_topology(
     Xp: jax.Array,
@@ -72,38 +132,22 @@ def knn_topology(
     """
     NA = Xp.shape[0]
     if method == "pallas":
-        # threshold-compaction Pallas kernel (ops/knn_pallas.py): exact,
-        # ~2x faster than the chunked XLA top-k at 8k atoms. Requires a
-        # Morton-ordered padded layout for speed (NOT correctness: rows
-        # whose off-band candidate set overflows W fall back to the
-        # exact XLA path for the whole structure via lax.cond). Small
-        # buckets use the exact path directly (already fast there).
-        from .ops.knn_pallas import HALF, RB, knn_candidates, knn_select
-
-        if NA % RB == 0 and NA >= 2 * HALF + RB and k <= 2 * HALF:
-            cand_ids, cand_vals, overflow, dsq_max = knn_candidates(Xp, atom_mask, k=k)
-            ids_p, ok_p = knn_select(cand_ids, cand_vals, atom_mask.astype(jnp.float32), k)
-            dmax_p = jnp.sqrt(jnp.maximum(dsq_max, 0.0))
-
-            def finish(ids, ok, Dmax):
-                r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
-                d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
-                d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
-                d_top = jnp.where(ok, d_top, 0.0)
-                r_top = jnp.where(
-                    ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0
-                )
-                return ids, d_top, r_top
-
-            def exact_path(_):
-                ids, d, r = knn_topology(Xp, atom_mask, k=k, row_block=row_block,
-                                         method="exact")
-                return ids, d, r
-
+        # threshold-compaction Pallas kernel (ops/knn_pallas.py): exact.
+        # Requires a Morton-ordered padded layout for speed (NOT
+        # correctness: rows whose off-band candidate set overflows W fall
+        # back to the exact XLA path for the whole structure via a
+        # SCALAR-predicate lax.cond — under vmap a per-structure cond
+        # degenerates to select and runs BOTH paths, so batched callers
+        # must use knn_topology_batch, which hoists one cond over the
+        # whole batch). Small buckets use the exact path directly.
+        parts = _knn_pallas_parts(Xp, atom_mask, k)
+        if parts is not None:
+            (ids_p, d_p, r_p), overflow = parts
             return jax.lax.cond(
                 overflow,
-                exact_path,
-                lambda _: finish(ids_p, ok_p, dmax_p),
+                lambda _: knn_topology(Xp, atom_mask, k=k, row_block=row_block,
+                                       method="exact"),
+                lambda _: (ids_p, d_p, r_p),
                 operand=None,
             )
         method = "exact"

@@ -147,3 +147,27 @@ def test_predict_batch_concurrent_calls_are_safe():
     for got, want in ((got_a, want_a), (got_b, want_b)):
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_predict_batch_deep_pipeline_buffer_rotation():
+    """With pipeline_depth=2 the loop holds 3 chunks between encode and
+    drain, so the BatchEncoder must rotate >=3 buffer sets: on the CPU
+    backend jnp.asarray may alias the numpy staging buffers into the
+    in-flight computation, and a 2-set rotation overwrites chunk k's
+    buffers while it is still pending (silently wrong probabilities).
+    One structure per chunk (atoms_per_call=bucket size) maximizes the
+    number of in-flight rotations."""
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    recs = [random_structure_record(n_atoms=40, n_res=8, seed=i) for i in range(8)]
+    want = [pred.predict_structure(dict(r)) for r in recs]
+    got = pred.predict_batch(recs, atoms_per_call=64, pipeline_depth=2)
+    assert pred._batch_encoder.n_sets >= 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)

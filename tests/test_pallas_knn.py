@@ -84,3 +84,37 @@ def test_pallas_knn_small_bucket_falls_back():
     ids_p, d_p, _ = knn_topology(Xp, m, k=64, method="pallas")
     ids_e, d_e, _ = knn_topology(Xp, m, k=64, method="exact")
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_e))
+
+
+def test_knn_topology_batch_matches_per_structure():
+    """knn_topology_batch must agree with per-structure knn_topology for
+    every method — and for 'pallas' it must keep the overflow fallback a
+    real scalar-cond branch (a vmapped per-structure cond degenerates to
+    select and runs BOTH the kernel and the exact path per batch)."""
+    from pesto_tpu.topology import knn_topology_batch
+
+    Xs, ms = [], []
+    for seed in (0, 1):
+        X = _sorted_cloud(600, seed)
+        Xp, m, _ = _padded(X, 640)
+        Xs.append(Xp)
+        ms.append(m)
+    Xb, mb = jnp.stack(Xs), jnp.stack(ms)
+    for method in ("exact", "fast", "pallas"):
+        ids_b, d_b, r_b = knn_topology_batch(Xb, mb, k=64, method=method)
+        for j in range(2):
+            ids, d, r = knn_topology(Xs[j], ms[j], k=64, method=method)
+            np.testing.assert_allclose(np.asarray(d_b)[j], np.asarray(d),
+                                       atol=2e-3, rtol=1e-5)
+            same = np.asarray(ids_b)[j] == np.asarray(ids)
+            assert same.mean() > 0.995
+
+    # the batched pallas lowering carries a scalar cond (stablehlo if/case),
+    # not an unconditional inline of both paths
+    txt = (
+        jax.jit(lambda X, a: knn_topology_batch(X, a, k=64, method="pallas"))
+        .lower(Xb, mb).as_text()
+    )
+    assert ("stablehlo.if" in txt) or ("stablehlo.case" in txt), (
+        "pallas overflow fallback lost its scalar cond"
+    )
