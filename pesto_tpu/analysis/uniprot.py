@@ -30,6 +30,12 @@ def _default_fetch(url: str, timeout: float = 30.0) -> bytes:
     try:
         with urllib.request.urlopen(url, timeout=timeout) as r:
             return r.read()
+    except urllib.error.HTTPError:
+        # the server ANSWERED (404/500/...): a per-item failure, not an
+        # offline condition — HTTPError subclasses URLError, so it must
+        # be re-raised before the connectivity clause below or one bad
+        # key would abort a whole batch claiming the host has no egress
+        raise
     except (urllib.error.URLError, OSError) as e:
         raise RuntimeError(
             f"cannot reach {url} ({e}); this environment has no network "

@@ -64,30 +64,28 @@ def main(argv=None):
     enable_compilation_cache()
 
     knn_method = "fast" if args.fast_knn else "exact"
-    if args.model is None and args.ckpt:
-        # infer the variant from the checkpoint's tensor shapes (a wrong
-        # preset used to die in a flax scope error); single torch.load
-        from ..port import load_reference_checkpoint
 
-        params, cfg = load_reference_checkpoint(args.ckpt)
-        print(f"model variant inferred from checkpoint: em {cfg.em_n0}, "
-              f"{len(cfg.layers)} layers, {cfg.dm_n2} classes",
-              file=sys.stderr)
-        if args.bf16:
-            cfg = cfg.replace(dtype="bfloat16", precision="default")
-        pred = Predictor(cfg, params, knn_method=knn_method)
-    else:
-        cfg = get_config(args.model or "i_v4_1", remat=False)
-        if args.bf16:
-            cfg = cfg.replace(dtype="bfloat16", precision="default")
-        pred = None
+    def _bf16(c):
+        return c.replace(dtype="bfloat16", precision="default") if args.bf16 else c
 
-    if pred is not None:
-        pass
-    elif args.ckpt:
-        pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
-        pred.knn_method = knn_method
+    if args.ckpt:
+        if args.model is None:
+            # infer the variant from the checkpoint's tensor shapes (a
+            # wrong preset used to die in a flax scope error); one load
+            from ..port import load_reference_checkpoint
+
+            params, cfg = load_reference_checkpoint(args.ckpt)
+            print(f"model variant inferred from checkpoint: em {cfg.em_n0}, "
+                  f"{len(cfg.layers)} layers, {cfg.dm_n2} classes",
+                  file=sys.stderr)
+            cfg = _bf16(cfg)
+            pred = Predictor(cfg, params, knn_method=knn_method)
+        else:
+            cfg = _bf16(get_config(args.model, remat=False))
+            pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+            pred.knn_method = knn_method
     elif args.orbax:
+        cfg = _bf16(get_config(args.model or "i_v4_1", remat=False))
         from ..train.checkpoint import restore_checkpoint
         from ..train.state import create_train_state
 
@@ -99,7 +97,9 @@ def main(argv=None):
     else:
         default_ckpt = "/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt"
         if os.path.isfile(default_ckpt) and args.model == "i_v4_0":
+            cfg = _bf16(get_config("i_v4_0", remat=False))
             pred = Predictor.from_reference_checkpoint(default_ckpt, cfg)
+            pred.knn_method = knn_method
         else:
             parser.error("need --ckpt or --orbax")
 

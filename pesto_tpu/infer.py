@@ -52,7 +52,12 @@ class Predictor:
         # predict_batch used to issue per chunk paid that tax three times;
         # fusing also lets XLA overlap the kNN of the next lax-scheduled
         # work with nothing blocking on intermediate ids readbacks.
-        self._fused_serve = jax.jit(self._knn_forward_sigmoid, static_argnames=("nr",))
+        # knn method rides as a STATIC jit arg so `pred.knn_method = "fast"`
+        # after a first call retraces instead of silently reusing the
+        # method baked into the cached trace
+        self._fused_serve = jax.jit(
+            self._knn_forward_sigmoid, static_argnames=("nr", "knn_method")
+        )
         if mesh is not None:
             # DATA-PARALLEL SERVING: the fused chunk program (kNN ->
             # flat-batch forward -> sigmoid) runs under shard_map with the
@@ -70,9 +75,9 @@ class Predictor:
             self._n_data = int(mesh.shape["data"])
             self.params = jax.device_put(params, replicated_sharding(mesh))
 
-            def _serve_sharded(params, X, q, M, am, nr=None):
+            def _serve_sharded(params, X, q, M, am, nr=None, knn_method="exact"):
                 fn = lambda p, x, qq, mm, a: self._knn_forward_sigmoid(  # noqa: E731
-                    p, x, qq, mm, a, nr=nr
+                    p, x, qq, mm, a, nr=nr, knn_method=knn_method
                 )
                 return shard_map(
                     fn,
@@ -82,7 +87,9 @@ class Predictor:
                     check_rep=False,
                 )(params, X, q, M, am)
 
-            self._fused_serve = jax.jit(_serve_sharded, static_argnames=("nr",))
+            self._fused_serve = jax.jit(
+                _serve_sharded, static_argnames=("nr", "knn_method")
+            )
 
     @classmethod
     def from_reference_checkpoint(cls, path: str, cfg: PestoConfig = None,
@@ -97,14 +104,17 @@ class Predictor:
     def _apply(self, params, X, ids, q, M, am, cand=None, loc=None, nr=None):
         return self.model.apply({"params": params}, X, ids, q, M, am, cand, loc, nr=nr)
 
-    def _knn_forward_sigmoid(self, params, X, q, M, am, nr=None):
+    def _knn_forward_sigmoid(self, params, X, q, M, am, nr=None,
+                             knn_method="exact"):
         """Whole serving chunk as one XLA program: batched kNN topology,
         flat-batch forward, fp32 sigmoid. X/am: [B, NA(,3)].
         knn_topology_batch (not a bare vmap) keeps the pallas method's
-        overflow fallback a real scalar-cond branch."""
+        overflow fallback a real scalar-cond branch. knn_method is passed
+        (never read from self inside the trace) so mutating
+        pred.knn_method takes effect on the next call."""
         from .topology import knn_topology_batch
 
-        ids = knn_topology_batch(X, am, k=64, method=self.knn_method)[0]
+        ids = knn_topology_batch(X, am, k=64, method=knn_method)[0]
         z = self.model.apply({"params": params}, X, ids, q, M, am, nr=nr)
         return jax.nn.sigmoid(z.astype(jnp.float32))
 
@@ -147,16 +157,20 @@ class Predictor:
         }
 
     def warmup(self, buckets=None, batch_sizes=(1,)) -> None:
-        """Precompile the forward for the given (na, nr) buckets (all
-        default buckets if None) so serving never pays a first-compile
-        stall. Combine with utils.enable_compilation_cache() to persist
-        across processes."""
+        """Precompile BOTH serving entry points for the given (na, nr)
+        buckets (all default buckets if None) so serving never pays a
+        first-compile stall: the explicit-topology forward (logits) and,
+        for batch sizes > 1, the fused predict_batch program
+        (kNN -> forward -> sigmoid in one dispatch — warming only logits
+        would leave predict_batch's actual program cold). Combine with
+        utils.enable_compilation_cache() to persist across processes."""
         from .batching import ATOM_BUCKETS, RES_BUCKETS
         from .synthetic import random_padded_structure
 
         if buckets is None:
             # mega buckets (>32k atoms) compile on demand, not at warmup
             buckets = [b for b in zip(ATOM_BUCKETS, RES_BUCKETS) if b[0] <= 32768]
+        compact = sum(self.cfg.feature_flags) == 1 and not self.use_gather_tables
         for na, nr in buckets:
             ps = random_padded_structure(
                 n_atoms=min(na - 1, 64), n_res=min(nr, 8),
@@ -165,6 +179,25 @@ class Predictor:
             for b in batch_sizes:
                 target = stack_batch([ps] * b) if b > 1 else ps
                 jax.block_until_ready(self.logits(target))
+                sharded_ok = self.mesh is None or b % self._n_data == 0
+                if b > 1 and not self.use_gather_tables and sharded_ok:
+                    # the fused serving program, at the same shapes
+                    # predict_batch dispatches (compact int codes when the
+                    # config is single-vocabulary, like BatchEncoder)
+                    X = np.asarray(target.X)
+                    am = np.asarray(target.atom_mask)
+                    if compact:
+                        q = np.zeros((b, na), np.int32)
+                        M = np.zeros((b, na), np.int32)
+                        nr_static = nr
+                    else:
+                        q = np.asarray(target.q)
+                        M = np.asarray(target.M)
+                        nr_static = None
+                    jax.block_until_ready(self._fused_serve(
+                        self.params, X, q, M, am, nr=nr_static,
+                        knn_method=self.knn_method,
+                    ))
 
     def logits(self, ps: PaddedStructure) -> jax.Array:
         """Per-residue logits [NR, C] (or [B, NR, C] for batches).
@@ -259,7 +292,16 @@ class Predictor:
         cache = getattr(self, "_sp_serve_cache", None)
         if cache is None:
             cache = self._sp_serve_cache = {}
-        key = (id(mesh), nr_static)
+        # keyed by mesh CONTENT (devices + axis layout), not identity:
+        # callers that build a fresh equal Mesh per call (the README
+        # one-liner) must hit the cached compile, and the cache must not
+        # grow per call
+        key = (
+            tuple(d.id for d in np.ravel(mesh.devices)),
+            tuple(mesh.axis_names),
+            mesh.devices.shape,
+            nr_static,
+        )
         if key not in cache:
             fn = make_sp_serve(self.cfg, mesh, nr=nr_static)
             params = jax.device_put(self.params, replicated_sharding(mesh))
@@ -452,7 +494,7 @@ class Predictor:
                 )
                 return self._fused_serve(
                     self.params, batch.X, batch.q, batch.M, batch.atom_mask,
-                    nr=nr_static,
+                    nr=nr_static, knn_method=self.knn_method,
                 )
 
             def collect(chunk, probs_dev):
@@ -465,7 +507,14 @@ class Predictor:
             # the device while the host encodes the next and drains the
             # oldest (the drain is the only host sync per chunk)
             depth = max(1, int(pipeline_depth))
-            ndev = getattr(self, "_n_data", 1) if self.mesh is not None else 1
+            # mesh padding only applies to the shard_map'd fused path; the
+            # gather-tables branch runs the plain single-program jit, so
+            # padding its chunks would burn ndev-1 duplicate forwards for
+            # nothing
+            ndev = (
+                getattr(self, "_n_data", 1)
+                if self.mesh is not None and not self.use_gather_tables else 1
+            )
             pending = deque()
             for (na, nr), group in buckets.items():
                 # per-device atom budget; chunks padded to a multiple of

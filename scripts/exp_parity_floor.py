@@ -83,7 +83,6 @@ def torch_layerwise(model, X, ids, q0, M, dtype):
     with torch.no_grad():
         q = model.em.forward(q0)
         p0 = torch.zeros((q.shape[0] + 1, X.shape[1], q.shape[1]), dtype=dtype)
-        from types import SimpleNamespace
 
         sys.path.insert(0, "/root/reference")
         try:
@@ -107,7 +106,6 @@ def torch_layerwise(model, X, ids, q0, M, dtype):
 def main():
     structure = clean_structure(read_pdb(PDB))
     X, M = encode_structure(structure)
-    qe, _, _ = encode_structure and encode_features(structure)[0:1][0], None, None
     qe = encode_features(structure)[0]
 
     # reference topology (torch, f64 for the distance compute is

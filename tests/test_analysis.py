@@ -193,3 +193,33 @@ def test_download_offline_error_is_actionable(tmp_path, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="place UniProt REST JSON"):
         up.download_uniprot(["P12345"], str(tmp_path), num_workers=1)
+
+
+def test_default_fetch_distinguishes_http_errors(monkeypatch, tmp_path):
+    """HTTPError (the server ANSWERED: 404/500) must stay a per-item
+    failure — it subclasses URLError, and misclassifying it as the
+    offline condition aborts a whole batch over one bad key."""
+    import io
+    import urllib.error
+
+    from pesto_tpu.analysis.uniprot import download_uniprot
+
+    def fake_urlopen(url, timeout=0):
+        if "BAD404" in url:
+            raise urllib.error.HTTPError(url, 404, "not found", {}, io.BytesIO())
+
+        class R:
+            def read(self_inner):
+                return b"{}"
+
+            def __enter__(self_inner):
+                return self_inner
+
+            def __exit__(self_inner, *a):
+                return False
+
+        return R()
+
+    monkeypatch.setattr("urllib.request.urlopen", fake_urlopen)
+    out = download_uniprot(["BAD404", "P12345"], str(tmp_path), num_workers=1)
+    assert out == [str(tmp_path / "P12345.json")]

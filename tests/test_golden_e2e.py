@@ -171,3 +171,34 @@ def test_predict_batch_deep_pipeline_buffer_rotation():
     assert pred._batch_encoder.n_sets >= 3
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
+
+
+def test_predict_batch_honors_knn_method_mutation():
+    """`pred.knn_method = "fast"` after a first predict_batch call must
+    change the dispatched program (the method rides as a static jit arg;
+    it used to be baked into the first trace and silently ignored)."""
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    recs = [random_structure_record(n_atoms=500, n_res=64, seed=i) for i in range(2)]
+    _ = pred.predict_batch(recs)
+
+    import jax
+    import numpy as np_
+
+    X = np_.zeros((2, 1024, 3), np_.float32)
+    q = np_.zeros((2, 1024), np_.int32)
+    M = np_.zeros((2, 1024), np_.int32)
+    am = np_.zeros((2, 1024), np_.float32)
+    exact_txt = pred._fused_serve.lower(
+        pred.params, X, q, M, am, nr=128, knn_method="exact").as_text()
+    fast_txt = pred._fused_serve.lower(
+        pred.params, X, q, M, am, nr=128, knn_method="fast").as_text()
+    # fast mode's ApproxTopK partial reduce appears only in the fast trace
+    assert ("approx_top_k" in fast_txt.lower()) or ("approxtopk" in fast_txt.lower())
+    assert "approx" not in exact_txt.lower()
