@@ -5,6 +5,7 @@ parsing/cleaning on host (pure Python/numpy), contacts + kNN topology on
 device via jitted bucketed kernels.
 """
 
+import os
 import re
 from typing import List, Optional
 
@@ -172,11 +173,14 @@ def _process_pdb_for_build(pdb_filepath: str, cfg: dict):
     file is skipped (parse error, too large, no inter-subunit contacts)."""
     from ..io import read_pdb
 
-    m = re.match(r".*/([a-zA-Z0-9]*)\.pdb([0-9]*)(\.gz)?$", str(pdb_filepath))
+    # match on the BASENAME: a slash-anchored pattern lost the biounit id
+    # for bare relative paths ('1abc.pdb2'), colliding HDF5 keys mid-build
+    base = os.path.basename(str(pdb_filepath))
+    m = re.match(r"([a-zA-Z0-9]*)\.pdb([0-9]*)(\.gz)?$", base)
     if m:
         pdbid, bid = m[1], (m[2] or "1")
     else:
-        pdbid, bid = str(pdb_filepath).split("/")[-1].split(".")[0], "1"
+        pdbid, bid = base.split(".")[0], "1"
 
     try:
         structure = read_pdb(pdb_filepath)
@@ -252,19 +256,19 @@ def build_dataset_h5(
         }
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-        try:
-            pool = mp.get_context("spawn").Pool(
-                num_workers, initializer=_build_worker_init
-            )
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+        # the scrub stays active for the POOL'S LIFETIME (restored in the
+        # teardown below, not right after Pool()): multiprocessing respawns
+        # any worker that dies later, and a replacement spawned with the
+        # restored env would hang at plugin registration — exactly the
+        # failure the scrub prevents
+        env_saved = saved
+        pool = mp.get_context("spawn").Pool(
+            num_workers, initializer=_build_worker_init
+        )
         results = pool.imap(_build_worker, [(p, cfg) for p in pdb_filepaths], chunksize=4)
     else:
         pool = None
+        env_saved = {}
         results = (_process_pdb_for_build(p, cfg) for p in pdb_filepaths)
 
     it = results
@@ -300,4 +304,9 @@ def build_dataset_h5(
     finally:
         if pool is not None:
             pool.terminate()
+            for k, v in env_saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     return len(metadata_l)

@@ -14,11 +14,19 @@ from typing import Dict, Iterator
 
 import numpy as np
 
-# fork-inherited loader reference for worker processes (set immediately
-# before the Pool fork; children read their inherited copy, the parent
-# clears it right after). Workers run numpy-only code — they never touch
-# jax, so forking from a process with a live TPU client is safe.
+# per-worker loader reference, set by the Pool INITIALIZER (fork start
+# method: initargs are inherited, never pickled). The initializer — not a
+# parent-side global set around Pool() — matters twice: respawned
+# replacement workers (after an OOM kill) re-run it, and two live loaders
+# (train + test) each bind their own pools. Workers run numpy-only code —
+# they never touch jax, so forking from a process with a live TPU client
+# is safe.
 _FORK_LOADER = None
+
+
+def _pool_init(loader):
+    global _FORK_LOADER
+    _FORK_LOADER = loader
 
 
 def _mp_make_batch(spec):
@@ -95,6 +103,22 @@ class BucketedLoader:
         self.process_index = process_index
         # Morton-sort items and attach tile-local one-hot gather tables
         # (fixed width so same-bucket batches stack); see pesto_tpu.spatial
+        if gather_tables and process_count > 1:
+            # table presence is decided PER ITEM (build_gather_tables falls
+            # back to None when a tile's candidate set exceeds gather_u) and
+            # each process materializes only its own row slice — so two
+            # processes could disagree on whether a batch carries tables,
+            # compile different programs, and desync the SPMD collectives.
+            # Tables are a single-host optimization; multi-host uses the
+            # row-gather path (model gather="auto" handles their absence).
+            import sys as _sys
+
+            print(
+                "BucketedLoader: gather_tables disabled for process_count > 1 "
+                "(per-item table fallback would desync SPMD programs)",
+                file=_sys.stderr,
+            )
+            gather_tables = False
         self.gather_tables = gather_tables
         self.gather_u = gather_u
         # parse/decode/pad in num_workers forked processes (the reference
@@ -209,17 +233,14 @@ class BucketedLoader:
         if self._pool is None:
             import multiprocessing as mp
 
-            global _FORK_LOADER
             # drop any handle the parent opened so children open their own
             # (h5py handles are not fork-safe; H5Dataset also pid-guards)
             ds_reset = getattr(self.dataset, "reset_handles", None)
             if ds_reset is not None:
                 ds_reset()
-            _FORK_LOADER = self
-            try:
-                self._pool = mp.get_context("fork").Pool(self.num_workers)
-            finally:
-                _FORK_LOADER = None
+            self._pool = mp.get_context("fork").Pool(
+                self.num_workers, initializer=_pool_init, initargs=(self,)
+            )
         return self._pool
 
     def close(self):
@@ -282,24 +303,42 @@ class BucketedLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()  # consumer stopped iterating early
+
+        def put(item) -> bool:
+            # bounded put so an abandoned producer exits instead of
+            # blocking on a full queue forever (run_eval breaks out of the
+            # loader at its eval budget; without this every eval leaked a
+            # thread plus prefetch+1 materialized batches)
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=1.0)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for bucket, items in batches:
-                    q.put(self._make_batch(bucket, items))
+                    if abandoned.is_set() or not put(self._make_batch(bucket, items)):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
-            q.put(stop)
+                put(e)
+            put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
 
     def __len__(self):
         return len(self._plan())

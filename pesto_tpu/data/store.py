@@ -47,9 +47,25 @@ class StructuresStore:
         return len(self.keys)
 
     def _file(self):
-        if self._hf is None:
+        # per-pid handle, like H5Dataset._file: h5py handles are not
+        # fork-safe, so a worker process forked after the parent opened
+        # the file must re-open its own
+        import os
+
+        pid = os.getpid()
+        if self._hf is None or getattr(self, "_hf_pid", None) != pid:
             self._hf = h5py.File(self.h5_filepath, "r")
+            self._hf_pid = pid
         return self._hf
+
+    def reset_handles(self):
+        """Drop the open HDF5 handle (call before forking workers)."""
+        if self._hf is not None:
+            try:
+                self._hf.close()
+            except Exception:
+                pass
+            self._hf = None
 
     def __getitem__(self, key: str) -> dict:
         return h5_load_structure(self._file()[key])

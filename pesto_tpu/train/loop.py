@@ -119,10 +119,17 @@ def _per_structure_scores(batch, p):
 
 def _aggregate(results):
     """results: list of (losses [C], scores list [8,C]) -> flat score dict
-    (reference scoring(), model/main.py:61-79)."""
+    (reference scoring(), model/main.py:61-79). Empty inputs are real:
+    a zero-batch eval selection, or a multi-host process whose row slices
+    were all padding dummies — NaN scores, never np.stack([]) crashes."""
+    if not results:
+        return {"loss": float("nan")}
     losses = np.mean(np.stack([r[0] for r in results]), axis=0)
     all_scores = [s for r in results for s in r[1]]
-    m_scores = nanmean(np.stack(all_scores), axis=0)
+    if all_scores:
+        m_scores = nanmean(np.stack(all_scores), axis=0)
+    else:
+        m_scores = np.full((len(bc_score_names), losses.shape[0]), np.nan)
     out = {"loss": float(np.sum(losses))}
     for i in range(losses.shape[0]):
         out[f"{i}/loss"] = float(losses[i])
@@ -143,6 +150,47 @@ def _log_scores(logger, scores, global_step, pos_ratios, step_type, tb_writer=No
         for key, v in scores.items():
             if not np.isnan(v):
                 tb_writer.add_scalar(f"{step_type}/{key}", v, global_step)
+
+
+class _NullLogger:
+    """Non-main-process logger: same interface, no file writes. Keeps
+    log_lst_filepath so _restore_min_loss can still READ process 0's .dat
+    on a shared filesystem."""
+
+    def __init__(self, output_dir, name):
+        self.log_lst_filepath = os.path.join(output_dir, f"{name}.dat")
+
+    def print(self, msg):
+        pass
+
+    def store(self, **stats):
+        pass
+
+    def restart_timer(self):
+        pass
+
+
+def _restore_min_loss(logger) -> float:
+    """Best test loss recorded in this run dir's .dat (the reference
+    recovers run state from train.dat the same way, model/main.py:124-136);
+    1e9 for a fresh run or an unreadable log."""
+    import json
+
+    best = 1e9
+    try:
+        with open(logger.log_lst_filepath) as f:
+            for line in f:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("step_type") == "test" and "loss" in e:
+                    v = float(e["loss"])
+                    if np.isfinite(v):
+                        best = min(best, v)
+    except OSError:
+        pass
+    return best
 
 
 def run_eval(state, loader_test, eval_step, put, eval_size: int):
@@ -177,16 +225,22 @@ def train(
     output_dir: str,
     init_params_from: Optional[dict] = None,
 ) -> None:
-    logger = Logger(output_dir, "train")
+    # multi-host: only process 0 writes logs/snapshots — N processes
+    # appending the same train.dat interleave JSON lines (non-atomic over
+    # NFS) and race on the snapshot files. Checkpoint saves stay
+    # all-process (orbax multi-host saves are collective).
+    is_main = jax.process_index() == 0
+    logger = Logger(output_dir, "train") if is_main else _NullLogger(output_dir, "train")
     logger.print(">>> Configuration")
     logger.print(str(dataclasses.asdict(tc)))
-    save_config_snapshot(output_dir, model=model_cfg, train=tc)
-    try:
-        from .checkpoint import save_code_snapshot
+    if is_main:
+        save_config_snapshot(output_dir, model=model_cfg, train=tc)
+        try:
+            from .checkpoint import save_code_snapshot
 
-        save_code_snapshot(output_dir)
-    except Exception:
-        pass
+            save_code_snapshot(output_dir)
+        except Exception:
+            pass
 
     state, tx = create_train_state(
         model_cfg, learning_rate=tc.learning_rate,
@@ -248,16 +302,22 @@ def train(
         put = lambda b: b
 
     tb_writer = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    if is_main:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        tb_writer = SummaryWriter(os.path.join(output_dir, "tb"))
-    except Exception:
-        pass
+            tb_writer = SummaryWriter(os.path.join(output_dir, "tb"))
+        except Exception:
+            pass
 
     logger.print(">>> Starting training")
     logger.restart_timer()
-    min_loss = 1e9
+    # restore the best-so-far eval loss across resumes, or the first
+    # post-resume eval (almost surely worse than the pre-crash best)
+    # overwrites the genuine best/ checkpoint (keep=1)
+    min_loss = _restore_min_loss(logger)
+    if min_loss < 1e9:
+        logger.print(f"> resumed best eval loss {min_loss:.4f}")
     train_results = []
     t_last, steps_last = time.time(), int(state.global_step)
 

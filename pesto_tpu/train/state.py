@@ -40,16 +40,27 @@ def make_lr_schedule(
     total_steps: int = 1_000_000,
 ):
     """constant | cosine | warmup_cosine (the reference uses constant Adam,
-    model/main.py:159; schedules are standard production options)."""
-    if schedule == "constant" and warmup_steps == 0:
-        return learning_rate
-    if schedule == "cosine":
+    model/main.py:159; schedules are standard production options).
+    warmup_steps > 0 composes with every schedule — 'constant' + warmup is
+    a linear ramp that then HOLDS learning_rate (it used to silently turn
+    into warmup_cosine decaying to zero). Unknown names raise instead of
+    silently training at constant LR."""
+    if schedule == "constant":
+        if warmup_steps == 0:
+            return learning_rate
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+             optax.constant_schedule(learning_rate)],
+            boundaries=[warmup_steps],
+        )
+    if schedule == "cosine" and warmup_steps == 0:
         return optax.cosine_decay_schedule(learning_rate, total_steps)
-    if schedule == "warmup_cosine" or warmup_steps > 0:
+    if schedule in ("cosine", "warmup_cosine"):
         return optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, max(warmup_steps, 1), total_steps
         )
-    return learning_rate
+    raise ValueError(f"unknown lr_schedule {schedule!r}: "
+                     "constant | cosine | warmup_cosine")
 
 
 def create_train_state(
