@@ -168,6 +168,12 @@ def encode_and_pad(
 
         perm = morton_order(X)
         X, q, M = X[perm], q[perm], M[perm]
+    if with_gather_tables and not with_topology:
+        raise ValueError(
+            "with_gather_tables requires with_topology: the tables are "
+            "built from the kNN ids (use attach_gather_tables after "
+            "computing the topology yourself)"
+        )
     ps = pad_structure_arrays(X, q, M, na=na, nr=nr)
     if with_topology:
         ps = compute_topology(ps, method=knn_method)

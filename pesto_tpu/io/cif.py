@@ -114,6 +114,11 @@ def read_molecule_cif(filepath: str):
         )
         if ideal is not None and _floats_ok(ideal):
             coords = ideal
+        else:
+            # no usable coordinates anywhere ('?' model values, no ideal
+            # loop): take the documented single-atom fallback instead of
+            # crashing in np.array(coords, dtype=float) below
+            coords = None
 
     elements = _find_loop_columns(loops, ["_chem_comp_atom.type_symbol"])
 

@@ -17,10 +17,7 @@ from typing import Dict
 import numpy as np
 
 
-def _open_text(path: str):
-    if str(path).endswith(".gz"):
-        return gzip.open(path, "rt")
-    return open(path, "r")
+from .pdb import _open_text  # shared gzip-aware opener
 
 
 _UNSET = (".", "?", "")

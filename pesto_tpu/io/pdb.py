@@ -43,15 +43,35 @@ _TWO_LETTER_ELEMENTS = {
 }
 
 
+# standard biopolymer + water residues contain only C/H/N/O/S/P — an
+# atom named HG there is a serine gamma-hydrogen, never mercury
+_STD_BIO_RESNAMES = {
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+    "MSE", "SEC", "PYL",
+    "DA", "DC", "DG", "DT", "DI", "A", "C", "G", "U", "I",
+    "HOH", "DOD",
+}
+
+# atom-name prefixes that are overwhelmingly organic positions, not
+# metals, unless the residue IS the ion (resname == symbol)
+_AMBIGUOUS_TWO_LETTER = {"CA", "CD", "NE", "CE", "NA", "NB", "ND", "HG",
+                         "HE", "HD", "CS"}
+
+
 def _guess_element(name: str, resname: str) -> str:
-    """Guess the element from an atom name when columns 77-78 are empty."""
+    """Guess the element from an atom name when columns 77-78 are empty
+    (typical of MD outputs). Standard residues use single-letter elements
+    only; elsewhere a two-letter metal is accepted when unambiguous or
+    when the residue is the ion itself."""
     s = "".join(c for c in name if c.isalpha()).upper()
     if not s:
         return "X"
+    res = resname.strip().upper()
+    if res in _STD_BIO_RESNAMES:
+        return s[0]
     if len(s) >= 2 and s[:2] in _TWO_LETTER_ELEMENTS:
-        # Ions/metals are usually their own residue; avoid eating 'CA' of
-        # a protein backbone (calcium vs C-alpha).
-        if resname.strip().upper() == s[:2] or s[:2] not in ("CA", "CD", "NE", "CE"):
+        if res == s[:2] or s[:2] not in _AMBIGUOUS_TWO_LETTER:
             return s[0] + s[1].lower()
     return s[0]
 
@@ -189,8 +209,11 @@ def read_traj_pdb(pdb_filepath: str):
     cur_meta = [[], [], [], [], [], [], []]
     in_model = False
 
+    altloc_seen = set()
+
     def flush():
         nonlocal meta, current
+        altloc_seen.clear()  # altloc keys are per model
         if current:
             frames.append(np.array(current, dtype=np.float32))
             if meta is None:
@@ -209,6 +232,14 @@ def read_traj_pdb(pdb_filepath: str):
                 continue
             if rec not in ("ATOM  ", "HETATM") or len(line) < 54:
                 continue
+            # altloc dedup like read_pdb (keep the FIRST conformer seen,
+            # keyed per model): otherwise topology built from read_pdb of
+            # the same file would misalign with the trajectory frames
+            if line[16:17] not in (" ", ""):
+                akey = (line[21:22], line[22:26], line[12:16])
+                if akey in altloc_seen:
+                    continue
+                altloc_seen.add(akey)
             try:
                 x, y, z = float(line[30:38]), float(line[38:46]), float(line[46:54])
                 resid = int(line[22:26])
@@ -233,7 +264,14 @@ def read_traj_pdb(pdb_filepath: str):
     if not frames:
         raise ValueError(f"no frames parsed from {pdb_filepath}")
     n = frames[0].shape[0]
-    frames = [f for f in frames if f.shape[0] == n]
+    bad = [i for i, f in enumerate(frames) if f.shape[0] != n]
+    if bad:
+        # the docstring's contract — silently dropping mismatched frames
+        # let partial/corrupt trajectories pass as shorter ones
+        raise ValueError(
+            f"{pdb_filepath}: frame(s) {bad[:5]} have atom counts "
+            f"{[frames[i].shape[0] for i in bad[:5]]} != frame 0's {n}"
+        )
     structure = {
         "xyz": frames[0],
         "name": np.array(meta[0]),
@@ -247,9 +285,18 @@ def read_traj_pdb(pdb_filepath: str):
     return structure, np.stack(frames)
 
 
+def _chain_char(cn) -> str:
+    """First character of the subunit's chain id for the 1-char PDB chain
+    column; blank source chains ("" or ":0" tagged names) map to "A"."""
+    c = str(cn).split(":")[0]
+    return c[0] if c else "A"
+
+
 def _format_atom_line(h, serial, name, resname, chain_char, resid, xyz, bf, element):
+    # resname is truncated to the fixed 3-char PDB column: 4/5-char CCD
+    # codes (mmCIF lipids/glycans) would shift every downstream column
     return "{:<6s}{:>5d} {:<4s} {:>3s} {:1s}{:>4d}    {:8.3f}{:8.3f}{:8.3f}{:6.2f}{:6.2f}          {:<2s}  ".format(
-        h, serial, name, resname, chain_char, int(resid),
+        h, serial, name, str(resname)[:3], chain_char, int(resid),
         float(xyz[0]), float(xyz[1]), float(xyz[2]), float(bf), float(bf), element,
     )
 
@@ -270,7 +317,7 @@ def save_pdb(subunits: dict, filepath: str) -> None:
             for i in range(n):
                 h = "ATOM" if su["het_flag"][i] == "A" else "HETATM"
                 bf = float(bfs[i]) if bfs is not None else 0.0
-                chain_char = str(cn).split(":")[0][0] if str(cn) else "A"
+                chain_char = _chain_char(cn)
                 fs.write(
                     _format_atom_line(
                         h, i + 1, str(su["name"][i]), str(su["resname"][i]),
@@ -305,8 +352,8 @@ def save_traj_pdb(subunits: dict, filepath: str) -> None:
                     h = "ATOM" if su["het_flag"][i] == "A" else "HETATM"
                     bf = float(bfs[i]) if bfs is not None else 0.0
                     line = "{:<6s}{:>5d} {:<4s} {:>3s} {:1s}{:>4d}    {:8.3f}{:8.3f}{:8.3f}{:6.2f}{:6.2f}          {:<2s}  ".format(
-                        h, i + 1, str(su["name"][i]), str(su["resname"][i]),
-                        str(cn), int(su["resid"][i]),
+                        h, i + 1, str(su["name"][i]), str(su["resname"][i])[:3],
+                        _chain_char(cn), int(su["resid"][i]),
                         float(su["xyz"][k][i][0]), float(su["xyz"][k][i][1]),
                         float(su["xyz"][k][i][2]), 0.0, bf, str(su["element"][i]),
                     )

@@ -22,6 +22,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <set>
 #include <unordered_set>
 #include <vector>
 
@@ -69,18 +70,35 @@ std::string normalize_element(const std::string& raw) {
     return out;
 }
 
+// mirrors pesto_tpu/io/pdb.py _guess_element: standard biopolymer/water
+// residues contain only C/H/N/O/S/P (an HG there is a gamma-hydrogen,
+// never mercury); elsewhere common organic-position prefixes are metals
+// only when the residue IS the ion
+static const std::set<std::string> kStdBioResnames = {
+    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
+    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
+    "MSE", "SEC", "PYL",
+    "DA", "DC", "DG", "DT", "DI", "A", "C", "G", "U", "I",
+    "HOH", "DOD",
+};
+static const std::set<std::string> kAmbiguousTwoLetter = {
+    "CA", "CD", "NE", "CE", "NA", "NB", "ND", "HG", "HE", "HD", "CS",
+};
+
 std::string guess_element(const std::string& name, const std::string& resname) {
     std::string s;
     for (char c : name)
         if (std::isalpha(static_cast<unsigned char>(c))) s += std::toupper(c);
     if (s.empty()) return "X";
+    std::string rn;
+    for (char c : resname)
+        if (!std::isspace(static_cast<unsigned char>(c))) rn += std::toupper(c);
+    if (kStdBioResnames.count(rn)) return std::string(1, s[0]);
     if (s.size() >= 2) {
         std::string two = s.substr(0, 2);
         if (kTwoLetter.count(two)) {
-            std::string rn;
-            for (char c : resname) rn += std::toupper(c);
-            bool ambiguous = (two == "CA" || two == "CD" || two == "NE" || two == "CE");
-            if (rn == two || !ambiguous) return std::string(1, two[0]) + static_cast<char>(std::tolower(two[1]));
+            if (rn == two || !kAmbiguousTwoLetter.count(two))
+                return std::string(1, two[0]) + static_cast<char>(std::tolower(two[1]));
         }
     }
     return std::string(1, s[0]);

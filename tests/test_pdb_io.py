@@ -146,3 +146,81 @@ def test_pdb_multimodel_altlocs_kept_per_model(tmp_path):
     s = read_pdb(str(p))
     assert list(s["chain_name"]) == ["A:0", "A:1"]
     np.testing.assert_allclose(s["xyz"][:, 0], [1.0, 1.0])
+
+
+def test_save_pdb_blank_chain(tmp_path):
+    """A blank chain column parses to chain ':0'-style names; the writer
+    must fall back to 'A' for the 1-char chain field instead of crashing."""
+    from pesto_tpu.io import read_pdb, save_pdb
+    from pesto_tpu.structure import split_by_chain
+
+    src = tmp_path / "blank_chain.pdb"
+    src.write_text(
+        "ATOM      1  N   ALA     1      11.104   6.134  -6.504  1.00  0.00           N\n"
+        "ATOM      2  CA  ALA     1      11.639   6.071  -5.147  1.00  0.00           C\n"
+        "END\n"
+    )
+    s = read_pdb(str(src))
+    out = tmp_path / "out.pdb"
+    save_pdb(split_by_chain(s), str(out))
+    lines = [ln for ln in out.read_text().splitlines() if ln.startswith("ATOM")]
+    assert len(lines) == 2
+    assert lines[0][21] == "A"
+    # the fixed columns still parse
+    assert abs(float(lines[0][30:38]) - 11.104) < 1e-6
+
+
+def test_guess_element_standard_residues():
+    """HG in SER is a gamma-hydrogen, not mercury; NA stays sodium only
+    when the residue IS the ion."""
+    from pesto_tpu.io.pdb import _guess_element
+
+    assert _guess_element("HG", "SER") == "H"
+    assert _guess_element("1HG2", "THR") == "H"
+    assert _guess_element("NA", "HEM") == "N"
+    assert _guess_element("NA", "NA") == "Na"
+    assert _guess_element("HG", "HG") == "Hg"
+    assert _guess_element("ZN", "ZN") == "Zn"
+    assert _guess_element("CL", "LIG") == "Cl"  # unambiguous two-letter
+
+
+def test_read_traj_pdb_mismatched_frames_raise(tmp_path):
+    from pesto_tpu.io.pdb import read_traj_pdb
+
+    src = tmp_path / "traj.pdb"
+    src.write_text(
+        "MODEL     1\n"
+        "ATOM      1  N   ALA A   1      1.000   0.000   0.000  1.00  0.00           N\n"
+        "ATOM      2  CA  ALA A   1      2.000   0.000   0.000  1.00  0.00           C\n"
+        "ENDMDL\n"
+        "MODEL     2\n"
+        "ATOM      1  N   ALA A   1      1.100   0.000   0.000  1.00  0.00           N\n"
+        "ENDMDL\n"
+        "END\n"
+    )
+    with pytest.raises(ValueError, match="atom counts"):
+        read_traj_pdb(str(src))
+
+
+def test_save_traj_pdb_roundtrips_tagged_chains(tmp_path):
+    """save_traj_pdb writes the 1-char chain column (a tagged 'A:0' name
+    used to shift every downstream fixed column)."""
+    import numpy as np_
+
+    from pesto_tpu.io.pdb import read_traj_pdb, save_traj_pdb
+
+    su = {
+        "A:0": {
+            "xyz": np_.array([[[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]] * 3),
+            "name": np_.array(["N", "CA"]),
+            "element": np_.array(["N", "C"]),
+            "resname": np_.array(["ALA", "ALA"]),
+            "resid": np_.array([1, 1]),
+            "het_flag": np_.array(["A", "A"]),
+        }
+    }
+    out = tmp_path / "traj.pdb"
+    save_traj_pdb(su, str(out))
+    s, frames = read_traj_pdb(str(out))
+    assert frames.shape == (3, 2, 3)
+    np_.testing.assert_allclose(frames[0, 0], [1.0, 2.0, 3.0], atol=1e-3)
