@@ -149,13 +149,16 @@ def aggregate_interfaces_tags(
 ) -> Tuple[List[Dict[str, list]], Dict[str, int]]:
     """Best-interface mean prediction per (class, tag) + tag counts
     (analysis_interfaces_uniprot_features.ipynb cell 3)."""
-    mp_tags = [{} for _ in range(5)]
+    n_cls = 0
+    for uniprot in interfaces:
+        n_cls = max(n_cls, len(interfaces[uniprot]))
+    mp_tags = [{} for _ in range(n_cls)]
     for uniprot in data:
         if uniprot in tag_dict and uniprot in interfaces:
             entry = data[uniprot]
             int_l = interfaces[uniprot]
             tags = np.unique(tag_dict[uniprot])
-            for i in range(5):
+            for i in range(len(int_l)):
                 if len(int_l[i]) > 0:
                     mp = np.max(
                         [np.mean(np.asarray(entry[f"p{i}"])[np.asarray(ids_int, dtype=int)])
@@ -254,9 +257,11 @@ def cointerface_statistics(itype_counts: dict) -> Dict[str, float]:
                 ni, nk = counts.get(labels[i], 0), counts.get(labels[j], 0)
                 if nj > 0:
                     joint += 1
-                    if ni > nj and nk > nj:
-                        sep += 1
-                elif ni > 0 and nk > 0:
+                # single-type and joint interfaces are DISJOINT records in
+                # itype_counts, so separate single-type interfaces of both
+                # kinds is simply ni>0 and nk>0 (the old ni>nj comparison
+                # undercounted proteins that also carry a joint interface)
+                if ni > 0 and nk > 0:
                     sep += 1
             out[joint_k] = float(joint)
             out[sep_k] = float(sep)
@@ -282,10 +287,16 @@ def per_residue_interface_ratios(
     Residues below the AlphaFold-confidence threshold (entry['afs']) are
     excluded when present. Returns [ {category: ratio} per class i ]."""
     p_dict: Dict[str, list] = {}
+    # class count from the DATA (p0..p{C-1} keys), never hard-coded 5:
+    # non-5-class configs (i_v3_1 dm_n2=1) crashed here with KeyError
+    n_cls = 0
+    for entry in data.values():
+        n_cls = max(n_cls, len([k for k in entry
+                                if k.startswith("p") and k[1:].isdigit()]))
     for entry in data.values():
         vals = np.asarray(entry[key])
         afs = np.asarray(entry.get("afs", np.full(len(vals), np.inf)))
-        probs = np.stack([np.asarray(entry[f"p{j}"]) for j in range(5)], axis=1)
+        probs = np.stack([np.asarray(entry[f"p{j}"]) for j in range(n_cls)], axis=1)
         for i in range(len(vals)):
             if afs[i] <= afs_thr:
                 continue
@@ -295,7 +306,7 @@ def per_residue_interface_ratios(
                     cat = key_map.get(cat, cat)
                 p_dict.setdefault(cat, []).append(probs[i])
     out = []
-    for i in range(5):
+    for i in range(n_cls):
         out.append(
             {cat: float(np.mean(np.asarray(pl)[:, i] > p_thr)) for cat, pl in p_dict.items()}
         )

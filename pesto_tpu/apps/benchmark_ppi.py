@@ -93,7 +93,17 @@ def main(argv=None):
                 continue
 
             ours = pred.predict_structure(s_in)[:, args.class_index]
-            n = min(len(ours), len(y))
+            if not (len(ours) == len(y) == len(ref_p)):
+                # a count mismatch means POSITIONAL misalignment, not a
+                # shorter tail — truncating would score residue i of one
+                # file against residue i of another
+                import sys as _sys
+
+                print(f"skip {base}: residue counts differ "
+                      f"(ours {len(ours)}, truth {len(y)}, ref {len(ref_p)})",
+                      file=_sys.stderr)
+                continue
+            n = len(y)
             row = {
                 "id": os.path.basename(base),
                 "n_res": n,

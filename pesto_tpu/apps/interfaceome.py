@@ -30,7 +30,17 @@ def cmd_pack(args):
     from ..data.store import store_pdbs
 
     paths = sorted({p for g in args.inputs for p in glob.glob(g)})
-    pairs = [(os.path.basename(p).split(".")[0], p) for p in paths]
+    # unique keys: duplicate basename stems (two dirs, or biounits
+    # x.pdb1/x.pdb2) used to collide in hf.create_group mid-pack
+    pairs, seen = [], {}
+    for p in paths:
+        key = os.path.basename(p).split(".")[0]
+        if key in seen:
+            seen[key] += 1
+            key = f"{key}_{seen[key]}"
+        else:
+            seen[key] = 1
+        pairs.append((key, p))
     keys = store_pdbs(args.out, pairs)
     print(f"packed {len(keys)} structures into {args.out}")
 
@@ -59,10 +69,15 @@ def cmd_predict(args):
             print(f"error with {key}: {e}", file=sys.stderr)
 
     probs = pred.predict_batch(structures)
+    n_ok = 0
     with h5py.File(args.out, "w") as hf:
         for key, p in zip(keys, probs):
+            if p is None:  # over-bucket / unpredictable: warned upstream
+                print(f"skip {key}: no prediction", file=sys.stderr)
+                continue
             hf[key] = p
-    print(f"predicted {len(keys)} structures -> {args.out}")
+            n_ok += 1
+    print(f"predicted {n_ok}/{len(keys)} structures -> {args.out}")
 
 
 def cmd_aggregate(args):
@@ -83,9 +98,11 @@ def cmd_aggregate(args):
     with h5py.File(args.pred, "r") as hp, h5py.File(args.out, "w") as ho:
         for key in hp.keys():
             p = np.array(hp[key])
-            raw = store[key]
-            bf_by_atom = raw.get("bfactor")
-            structure = clean_structure(raw)
+            structure = clean_structure(store[key])
+            # clean_structure filters every per-atom key, so the cleaned
+            # record's own bfactor stays atom-aligned (the raw array is
+            # misaligned once waters/hydrogens are dropped)
+            bf_by_atom = structure.get("bfactor")
             m_ca = (structure["name"] == "CA") & (structure["element"] == "C")
             resids = structure["resid"]
             ures = np.unique(resids)
@@ -100,7 +117,7 @@ def cmd_aggregate(args):
                     m = resids == rid
                 xyz_ca[i] = structure["xyz"][m][0]
                 if bf_by_atom is not None:
-                    afs[i] = float(np.asarray(bf_by_atom)[: len(resids)][m][0])
+                    afs[i] = float(np.asarray(bf_by_atom)[m][0])
             # per-residue identity + P-SEA secondary structure (the
             # reference also stores resid/resname/ss/annotation,
             # interfaceome/aggregate_data.py:59-86)

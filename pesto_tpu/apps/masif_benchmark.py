@@ -58,7 +58,9 @@ def bench_residue_method(bench_dir, pred_subdir, alpha=1e-2, pdb_suffix=".pdb"):
         structure, bf = read_pdb_bfactors(os.path.join(pred_dir, fn))
         pl, pp, rl, rp = score_structure_vs_mesh(structure, bf, gt_path, alpha)
         pls.append(pl); pps.append(pp); rls.append(rl); rps.append(rp)
-        point_aucs.append(_auc(pl, pp))
+        # guard single-class meshes like the residue path: one degenerate
+        # ground truth otherwise NaN-poisons the median
+        point_aucs.append(_auc(pl, pp) if len(np.unique(pl)) > 1 else 0.5)
         res_aucs.append(_auc(rl, rp) if len(np.unique(rl)) > 1 else 0.5)
         names.append(myid)
     if not names:
@@ -172,7 +174,9 @@ def bench_ours(bench_dir, checkpoint, model="i_v4_1", fast=True):
             structure, atom_scores, os.path.join(gt_dir, myid + ".ply"), alpha=1.0
         )
         pls.append(pl); pps.append(pp); rls.append(rl); rps.append(rp)
-        point_aucs.append(_auc(pl, pp))
+        # guard single-class meshes like the residue path: one degenerate
+        # ground truth otherwise NaN-poisons the median
+        point_aucs.append(_auc(pl, pp) if len(np.unique(pl)) > 1 else 0.5)
         res_aucs.append(_auc(rl, rp) if len(np.unique(rl)) > 1 else 0.5)
         names.append(myid)
     if not names:

@@ -31,8 +31,11 @@ def _kabsch(xyz_ref, xyz):
 
 
 def superpose_transform(xyz_ref, xyz):
-    xyz_ref = jnp.atleast_3d(jnp.asarray(xyz_ref, jnp.float32))
-    xyz = jnp.atleast_3d(jnp.asarray(xyz, jnp.float32))
+    # promote [N,3] -> [1,N,3] BEFORE any rank munging: atleast_3d appends
+    # a TRAILING axis ([N,3] -> [N,3,1]), which silently fed _kabsch N
+    # frames of one-dimensional points
+    xyz_ref = jnp.asarray(xyz_ref, jnp.float32)
+    xyz = jnp.asarray(xyz, jnp.float32)
     if xyz_ref.ndim == 2:
         xyz_ref = xyz_ref[None]
     if xyz.ndim == 2:

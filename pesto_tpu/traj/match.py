@@ -24,36 +24,57 @@ def _keys(structure, resid_offset=0):
     )
 
 
-def _best_offset(ra, rb) -> int:
-    """Resid offset maximizing overlap of two residue-id sets."""
+def _best_offsets(ra, rb) -> list:
+    """Candidate resid offsets ranked by residue-id overlap, searched over
+    every difference between the two sets' anchor residues (truncated +
+    renumbered preparations need offsets no endpoint pair predicts).
+    Overlap ties (e.g. truncation + renumbering) are resolved by the
+    caller on matched atom keys."""
     ua, ub = np.unique(ra), np.unique(rb)
-    best, best_n = 0, -1
-    for off in np.unique(ua[:1] - ub[:1]).tolist() + [0, int(ua.min() - ub.min())]:
-        n = np.isin(ub + off, ua).sum()
-        if n > best_n:
-            best, best_n = int(off), int(n)
-    return best
+    cands = {0}
+    # anchor a bounded set of candidates: every ua against ub's ends, and
+    # ub's first few against ua's ends — covers truncation at either
+    # terminus with arbitrary renumbering at O(|ua|) candidates
+    for a in ua.tolist():
+        cands.add(int(a - ub.min()))
+        cands.add(int(a - ub.max()))
+    for b in ub[:8].tolist():
+        cands.add(int(ua.min() - b))
+        cands.add(int(ua.max() - b))
+    scored = sorted(
+        ((int(np.isin(ub + off, ua).sum()), -abs(off), off) for off in cands),
+        reverse=True,
+    )
+    # top candidates by resid overlap (ties broken toward small |offset|);
+    # identify() disambiguates among them by actual matched atom KEYS
+    return [off for n, _, off in scored[:4] if n > 0] or [0]
 
 
 def identify(structure_a: dict, structure_b: dict) -> Tuple[np.ndarray, np.ndarray]:
     """Indices (ids_a, ids_b) of atoms present in both structures, in
-    matching order (reference identify, trajectory_utils.py:67-141)."""
-    off = _best_offset(structure_a["resid"], structure_b["resid"])
+    matching order (reference identify, trajectory_utils.py:67-141).
+    Tries the top candidate resid offsets and keeps the one matching the
+    most atom keys (resid overlap alone ties for truncated+renumbered
+    preparations)."""
     ka = _keys(structure_a)
-    kb = _keys(structure_b, resid_offset=off)
-
     pos_a = {}
     for i, k in enumerate(ka):
         pos_a.setdefault(k, i)  # first occurrence wins
-    ids_a, ids_b = [], []
-    seen = set()
-    for j, k in enumerate(kb):
-        i = pos_a.get(k)
-        if i is not None and k not in seen:
-            ids_a.append(i)
-            ids_b.append(j)
-            seen.add(k)
-    return np.array(ids_a, dtype=np.int64), np.array(ids_b, dtype=np.int64)
+
+    best = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    for off in _best_offsets(structure_a["resid"], structure_b["resid"]):
+        kb = _keys(structure_b, resid_offset=off)
+        ids_a, ids_b = [], []
+        seen = set()
+        for j, k in enumerate(kb):
+            i = pos_a.get(k)
+            if i is not None and k not in seen:
+                ids_a.append(i)
+                ids_b.append(j)
+                seen.add(k)
+        if len(ids_a) > len(best[0]):
+            best = (np.array(ids_a, dtype=np.int64), np.array(ids_b, dtype=np.int64))
+    return best
 
 
 def align(structure_ref: dict, *structures, selection_names=("CA",)) -> np.ndarray:

@@ -117,10 +117,11 @@ def test_annotate_and_cointerfaces():
     counts = interface_type_counts(recs)
     assert counts["A"] == {"protein": 2, "ion": 1, "protein+ion": 1}
     co = cointerface_statistics(counts)
-    # A has a joint protein+ion interface AND separate protein (2>1) and
-    # ion (1>1 false) -> joint=1, separate-beyond-joint=0
+    # A has a joint protein+ion interface AND separate protein (2) and ion
+    # (1) interfaces — single-type and joint interfaces are disjoint
+    # records, so A counts for both the joint and the separate statistic
     assert co["protein+ion"] == 1.0
-    assert co["protein|ion"] == 0.0
+    assert co["protein|ion"] == 1.0
     # pair with no joint itype: dna/rna never present
     assert co["protein+dna/rna"] == 0.0
 

@@ -261,3 +261,40 @@ def test_multipole_terms_vs_reference_oracle(reference_dir):
         }
         for k, b in ref.items():
             np.testing.assert_allclose(np.asarray(ours[k]), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_identify_truncated_and_renumbered():
+    """B = A's residues 6..20 renumbered from 1 (offset 5): resid overlap
+    alone ties with offset 0; the key-match disambiguation must find the
+    true alignment and match every shared atom."""
+    from pesto_tpu.traj.match import identify
+
+    rng = np.random.RandomState(0)
+    resnames = np.array([["ALA", "GLY", "SER", "LYS"][i % 4] for i in range(20)])
+    a = {
+        "resid": np.repeat(np.arange(1, 21), 2),
+        "resname": np.repeat(resnames, 2),
+        "name": np.tile(np.array(["N", "CA"]), 20),
+        "chain_name": np.array(["A"] * 40),
+    }
+    sel = np.repeat(np.arange(5, 20), 2) * 2 + np.tile([0, 1], 15)
+    b = {
+        "resid": np.repeat(np.arange(1, 16), 2),
+        "resname": a["resname"][sel],
+        "name": a["name"][sel],
+        "chain_name": np.array(["A"] * 30),
+    }
+    ia, ib = identify(a, b)
+    assert len(ia) == 30, f"matched only {len(ia)} of 30 shared atoms"
+    np.testing.assert_array_equal(a["resname"][ia], b["resname"][ib])
+    np.testing.assert_array_equal(a["name"][ia], b["name"][ib])
+
+
+def test_superpose_transform_single_frame():
+    from pesto_tpu.traj import superpose_transform
+
+    rng = np.random.RandomState(1)
+    X = rng.rand(7, 3).astype(np.float32)
+    t, R, tr = superpose_transform(X, X + 1.0)
+    aligned = np.asarray((X + 1.0 - np.asarray(t)) @ np.asarray(R)[0] + np.asarray(tr))
+    np.testing.assert_allclose(aligned[0], X, atol=1e-4)
