@@ -163,7 +163,13 @@ def encode_and_pad(
     X, M = encode_structure(structure)
     feats = encode_features(structure)
     q = np.concatenate([f for f, flag in zip(feats, feature_flags) if flag], axis=1)
-    if spatial_sort or with_gather_tables:
+    if (spatial_sort or with_gather_tables) and X.shape[0] > NUM_NN:
+        # n <= k structures are NOT sort-invariant: missing-neighbor slots
+        # wrap to the LAST real atom (reference torch negative-index
+        # semantics, models/pesto.py unpack_state_features), so permuting
+        # atoms changes which atom fills the empty slots and shifts the
+        # logits (measured 0.24 on a 40-atom peptide). Sorting buys
+        # nothing at this size anyway.
         from .spatial import morton_order
 
         perm = morton_order(X)
@@ -292,7 +298,9 @@ class BatchEncoder:
             n = X.shape[0]
             if n + 1 > na or r > nr:
                 raise ValueError(f"structure ({n},{r}) exceeds bucket ({na},{nr})")
-            if spatial_sort:
+            if spatial_sort and X.shape[0] > NUM_NN:
+                # n <= k structures are not sort-invariant (see
+                # encode_and_pad) — leave them in input order
                 from .spatial import morton_order
 
                 perm = morton_order(X)

@@ -89,6 +89,11 @@ class CrossStateUpdateLayer(nn.Module):
         )
         qh1 = jnp.einsum("nhm,ms->nhs", M01, V0, precision=prec).reshape(Q1.shape[0], -1)
 
-        qz0 = cpm(jnp.concatenate([qa0, qh0], axis=1))
-        qz1 = cpm(jnp.concatenate([qa1, qh1], axis=1))
+        # re-zero sink/padding rows: qa is zeroed by the inner layer, but
+        # the softmax-pooled qh (plus cpm's bias) is nonzero there, and the
+        # next layer's neighbor gather assumes the state at id 0 is zero
+        # (models/pesto.py StateUpdateLayer) — without this, small
+        # structures' empty slots pull garbage from layer 2 onward
+        qz0 = cpm(jnp.concatenate([qa0, qh0], axis=1)) * am0[:, None]
+        qz1 = cpm(jnp.concatenate([qa1, qh1], axis=1)) * am1[:, None]
         return (qz0, pz0), (qz1, pz1)

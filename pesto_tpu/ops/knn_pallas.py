@@ -197,6 +197,13 @@ def knn_candidates(Xp, atom_mask, k=64):
     mw = jnp.where(mb > 0, dsq_w + PUSH * (dsq_w < 1e-4).astype(jnp.float32), BIG)
     neg = jax.lax.top_k(-mw, k)[0]
     thr = jnp.where(mask > 0, -neg[:, k - 1], -1.0)
+    # the Gram-vs-displacement cancellation skew scales with |Xc|^2 (even
+    # after centering): for very large structures (~1000 A capsids) the
+    # fixed MARGIN=1e-2 under-covers it, so fold the structure-dependent
+    # excess into the per-row threshold (exactness-preserving: a LARGER
+    # threshold only admits more candidates)
+    gram_eps = 1.2e-7 * 8.0 * jnp.max(jnp.where(mask > 0, sq, 0.0))
+    thr = jnp.where(mask > 0, thr + jnp.maximum(gram_eps - MARGIN, 0.0), thr)
 
     XT = jnp.zeros((8, NA), jnp.float32).at[0:3, :].set(Xc.T)
     SQ = jnp.zeros((8, NA), jnp.float32).at[0, :].set(sq)
@@ -234,6 +241,11 @@ def knn_candidates(Xp, atom_mask, k=64):
     bmax_bits = out[::RB, W + 128]
     Dsq_max = jnp.max(jax.lax.bitcast_convert_type(bmax_bits, jnp.float32))
     overflow = jnp.max(jnp.where(mask > 0, cnt, 0)) > W
+    # n <= k structures: the exact/reference path fills missing slots with
+    # the dup-pushed SELF candidate, which the band (w != 0) and the
+    # compaction (~inband) both exclude — force the exact fallback instead
+    # of silently diverging
+    overflow = overflow | (n_valid <= k)
     vout = jnp.where(mask[:, None] > 0, vout, BIG)
 
     vals = jnp.concatenate([mw, vout], axis=1)

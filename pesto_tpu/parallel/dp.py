@@ -13,11 +13,6 @@ from ..train.step import build_eval_step_fn, build_train_step_fn
 from .mesh import batch_sharding, replicated_sharding
 
 
-def _batch_shardings(batch: PaddedStructure, mesh: Mesh):
-    shard = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda _: shard, batch)
-
-
 def shard_batch(batch: PaddedStructure, mesh: Mesh) -> PaddedStructure:
     """Place a host batch onto the mesh, sharded over the data axis.
 

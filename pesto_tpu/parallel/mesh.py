@@ -22,6 +22,25 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if n_data < 1 or n_model < 1:
+        raise ValueError(
+            f"mesh {n_data}x{n_model} impossible with {len(devices)} "
+            f"device(s) (n_model exceeds the device count?)"
+        )
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"only {len(devices)} available"
+        )
+    if n_data * n_model < len(devices):
+        # silent truncation hides misconfiguration (e.g. training quietly
+        # using 6 of 8 chips) — say so
+        import sys
+
+        print(
+            f"make_mesh: using {n_data * n_model} of {len(devices)} devices",
+            file=sys.stderr,
+        )
     use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, ("data", "model"))
 

@@ -26,15 +26,12 @@ def make_sp_forward(cfg: PestoConfig, mesh: Mesh, batch_axis: bool = False):
     'model' (2-D parallelism)."""
     model = PestoModel(cfg)
     rep = NamedSharding(mesh, P())
+    fwd = lambda pp, X, ids, q, M, am: model.apply({"params": pp}, X, ids, q, M, am)  # noqa: E731
     if batch_axis:
         atom = NamedSharding(mesh, P("data", "model"))
-        fwd = lambda pp, X, ids, q, M, am: model.apply(
-            {"params": pp}, X, ids, q, M, am
-        )
         out = NamedSharding(mesh, P("data"))
     else:
         atom = NamedSharding(mesh, P("model"))
-        fwd = lambda pp, X, ids, q, M, am: model.apply({"params": pp}, X, ids, q, M, am)
         out = rep
     return jax.jit(
         fwd,

@@ -32,6 +32,20 @@ import numpy as np
 _BIG = jnp.float32(1e10)
 
 
+def _finish_topology(Xp, ids, ok, Dmax):
+    """Shared neighbor finalization (reference unpack semantics): exact
+    distances for the selected ids, duplicate-distance push by Dmax
+    (src/data_encoding.py:93), invalid-slot zeroing, unit displacements.
+    Used by both the exact-XLA tail and the Pallas path — the d<1e-2
+    masking semantics must never drift between them."""
+    r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
+    d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
+    d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
+    d_top = jnp.where(ok, d_top, 0.0)
+    r_top = jnp.where(ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0)
+    return ids, d_top, r_top
+
+
 def _knn_pallas_parts(Xp, atom_mask, k):
     """Run the threshold-compaction kernel and finish the topology
     (distances + unit displacements). Returns ((ids, D, R), overflow) or
@@ -46,14 +60,7 @@ def _knn_pallas_parts(Xp, atom_mask, k):
     cand_ids, cand_vals, overflow, dsq_max = knn_candidates(Xp, atom_mask, k=k)
     ids, ok = knn_select(cand_ids, cand_vals, atom_mask.astype(jnp.float32), k)
     Dmax = jnp.sqrt(jnp.maximum(dsq_max, 0.0))
-    r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
-    d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
-    d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
-    d_top = jnp.where(ok, d_top, 0.0)
-    r_top = jnp.where(
-        ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0
-    )
-    return (ids, d_top, r_top), overflow
+    return _finish_topology(Xp, ids, ok, Dmax), overflow
 
 
 @functools.partial(jax.jit, static_argnames=("k", "method"))
@@ -267,12 +274,7 @@ def knn_topology(
 
     # exact distances / unit displacements for the selected neighbors only,
     # with the reference's self/duplicate masking (src/data_encoding.py:93)
-    r_top = jnp.take(Xp, ids, axis=0, mode="clip") - Xp[:, None, :]
-    d_top = jnp.sqrt(jnp.maximum(jnp.sum(r_top * r_top, axis=-1), 0.0))
-    d_top = d_top + Dmax * (d_top < 1e-2).astype(d_top.dtype)
-    d_top = jnp.where(ok, d_top, 0.0)
-    r_top = jnp.where(ok[..., None], r_top / jnp.maximum(d_top, 1e-12)[..., None], 0.0)
-    return ids, d_top, r_top
+    return _finish_topology(Xp, ids, ok, Dmax)
 
 
 def extract_topology(X: np.ndarray, num_nn: int = 64):

@@ -83,3 +83,32 @@ def test_batch_encoder_double_buffering_and_parity():
     np.testing.assert_array_equal(cb.M[0, 1:11], rid_e)
     assert cb.q[0, 0] == 0 and (cb.q[0, 11:] == 0).all()
     enc.close()
+
+
+def test_small_structure_sort_invariance():
+    """Structures with n <= 64 atoms skip the Morton sort: their missing-
+    neighbor slots wrap to the LAST real atom (reference torch semantics),
+    so permuting atoms would change the logits (measured 0.24 on a
+    40-atom peptide). encode_and_pad with and without spatial_sort must
+    now agree exactly for small structures."""
+    import jax
+
+    from pesto_tpu.batching import encode_and_pad
+    from pesto_tpu.models import PestoModel, get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:2])
+    params = init_params(cfg)
+    model = PestoModel(cfg)
+    rec = dict(random_structure_record(n_atoms=40, n_res=8, seed=5))
+
+    outs = []
+    for sort in (False, True):
+        ps = encode_and_pad(rec, feature_flags=cfg.feature_flags,
+                            spatial_sort=sort)
+        z = model.apply({"params": params}, ps.X, ps.ids_topk, ps.q, ps.M,
+                        ps.atom_mask)
+        outs.append(np.asarray(z))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)

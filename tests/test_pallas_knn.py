@@ -118,3 +118,16 @@ def test_knn_topology_batch_matches_per_structure():
     assert ("stablehlo.if" in txt) or ("stablehlo.case" in txt), (
         "pallas overflow fallback lost its scalar cond"
     )
+
+
+def test_pallas_small_structure_forces_exact_fallback():
+    """n <= k structures fill missing slots with the dup-pushed SELF
+    candidate in the exact path — the band and the compaction both exclude
+    it, so the kernel must force the exact fallback (overflow) instead of
+    silently diverging (measured: 50/50 rows differed)."""
+    X = _sorted_cloud(50, seed=3)
+    Xp, m, n = _padded(X, 640)
+    ids_p, d_p, r_p = knn_topology(Xp, m, k=64, method="pallas")
+    ids_e, d_e, r_e = knn_topology(Xp, m, k=64, method="exact")
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_e))
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_e), atol=1e-5)
