@@ -78,6 +78,11 @@ class H5Dataset:
         self.t1_l = [np.where(np.isin(self.mids, rt))[0] for rt in r_types_l]
 
     def get_largest(self):
+        if not self.m.any():
+            raise ValueError(
+                "dataset selection is empty (check the selection file "
+                "format and filter thresholds)"
+            )
         i = int(np.argmax(self.sizes[:, 0] * self.m.astype(int)))
         k = self.ukeys.index(self.keys[i])
         return self[k]

@@ -32,6 +32,12 @@ def load_data(hgrp, keys=None):
 def sparse_onehot_indices(m: np.ndarray) -> np.ndarray:
     """Dense bool/0-1 matrix -> uint16 (row, col) nonzero index pairs
     (reference pack_structure_data, processing/build_dataset.py:63-74)."""
+    if max(m.shape) >= 2 ** 16:
+        raise ValueError(
+            f"matrix shape {m.shape} exceeds the uint16 sparse-index range "
+            "(the reference HDF5 schema, processing/build_dataset.py:63-74) "
+            "— indices would silently wrap"
+        )
     rows, cols = np.where(m > 0.5)
     return np.stack([rows, cols], axis=1).astype(np.uint16)
 
@@ -49,4 +55,8 @@ def load_sparse_mask(hgrp, k: str) -> np.ndarray:
 
 def sparse_4d_indices(Y: np.ndarray) -> np.ndarray:
     """4-D bool contact-type map -> uint16 [m, 4] nonzero indices."""
+    if max(Y.shape) >= 2 ** 16:
+        raise ValueError(
+            f"contact map shape {Y.shape} exceeds the uint16 index range"
+        )
     return np.stack(np.where(Y), axis=1).astype(np.uint16)

@@ -4,11 +4,25 @@
 import numpy as np
 
 
+def _normalize_sid(sid: str) -> str:
+    """Accept both selection-file formats: the reference's "1ABC_A"
+    (data/datasets/subunits_*.txt) and the dataset-key-derived
+    "1ABC_1_A:0" (pdbid_bid_chain:model) that split.py passes through —
+    the latter silently selected NOTHING before."""
+    parts = str(sid).split("_")
+    if len(parts) == 1:
+        return parts[0].upper()
+    # uppercase only the pdb id — chain ids are case-sensitive
+    chain = parts[-1].split(":")[0] if len(parts) > 2 else parts[1].split(":")[0]
+    return f"{parts[0].upper()}_{chain}"
+
+
 def select_by_sid(dataset, sids_sel):
     sids = np.array(
         ["_".join([s.split(":")[0] for s in key.split("/")[1::2]]) for key in dataset.keys]
     )
-    return np.isin(sids, np.asarray(sids_sel))
+    norm = np.array([_normalize_sid(s) for s in np.asarray(sids_sel).tolist()])
+    return np.isin(sids, norm)
 
 
 def select_by_max_ba(dataset, max_ba):

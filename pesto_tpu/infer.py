@@ -34,6 +34,12 @@ class Predictor:
         self.params = params
         self.knn_method = knn_method  # "fast": approx kNN, far-tail swaps only
         self.mesh = mesh  # data-parallel serving over a device mesh
+        if mesh is None:
+            # commit the parameters to the device ONCE: numpy params (the
+            # torch-port output) are re-transferred host->device on every
+            # jitted call otherwise — ~6 MB per chunk over the tunneled
+            # runtime's ~73 MB/s H2D (~80 ms/dispatch of pure re-upload)
+            self.params = jax.device_put(params)
         # one-hot MXU gather tables: built only when explicitly requested.
         # In bf16 they save ~0.4 ms/layer over the row gather, but SERVING
         # must round-trip the kNN ids to the host to build them (8 MB per
@@ -168,8 +174,17 @@ class Predictor:
         from .synthetic import random_padded_structure
 
         if buckets is None:
-            # mega buckets (>32k atoms) compile on demand, not at warmup
-            buckets = [b for b in zip(ATOM_BUCKETS, RES_BUCKETS) if b[0] <= 32768]
+            # mega buckets (>32k atoms) compile on demand, not at warmup.
+            # Pair each atom bucket with the residue bucket real proteins
+            # hit (~8 atoms/residue): a positional zip drifted once the
+            # atom ladder gained entries and warmed shapes traffic never
+            # uses while leaving the real ones cold
+            from .batching import pick_bucket as _pb
+
+            buckets = [
+                (na, _pb(max(na // 8, RES_BUCKETS[0]), RES_BUCKETS))
+                for na in ATOM_BUCKETS if na <= 32768
+            ]
         compact = sum(self.cfg.feature_flags) == 1 and not self.use_gather_tables
         for na, nr in buckets:
             ps = random_padded_structure(
@@ -254,6 +269,9 @@ class Predictor:
                 1: (std_resnames, "resname"),
                 2: (std_names, "name"),
             }[list(flags).index(True)]
+            assert self.cfg.em_n0 == len(vocab) + 1, (
+                "compact codes require em_n0 == len(vocab)+1"
+            )
             from .encoding import vocab_codes
 
             qc = vocab_codes(structure[field], vocab)
@@ -286,33 +304,35 @@ class Predictor:
             Mp[1 : n + 1, :n_res] = M_dense
 
         nr_static = nr if compact else None
-        # keyed cache: alternating residue buckets (or meshes) must not
-        # evict each other's compiled sharded forward or re-replicate the
-        # params per call
-        cache = getattr(self, "_sp_serve_cache", None)
-        if cache is None:
-            cache = self._sp_serve_cache = {}
-        # keyed by mesh CONTENT (devices + axis layout), not identity:
-        # callers that build a fresh equal Mesh per call (the README
-        # one-liner) must hit the cached compile, and the cache must not
-        # grow per call
-        key = (
-            tuple(d.id for d in np.ravel(mesh.devices)),
-            tuple(mesh.axis_names),
-            mesh.devices.shape,
-            nr_static,
-        )
-        if key not in cache:
-            fn = make_sp_serve(self.cfg, mesh, nr=nr_static)
-            params = jax.device_put(self.params, replicated_sharding(mesh))
-            cache[key] = (mesh, fn, params)
-        _, fn, params = cache[key]
-
-        if not hasattr(self, "_knn_single_jit"):
-            self._knn_single_jit = jax.jit(
-                lambda x, a, method: knn_topology(x, a, k=64, method=method)[0],
-                static_argnums=2,
+        # keyed cache under the Predictor lock (the same check-then-set
+        # race predict_batch guards against): alternating residue buckets
+        # or meshes must not evict each other's compiled sharded forward
+        # or re-replicate the params per call
+        with self._pb_lock:
+            cache = getattr(self, "_sp_serve_cache", None)
+            if cache is None:
+                cache = self._sp_serve_cache = {}
+            # keyed by mesh CONTENT (devices + axis layout), not identity:
+            # callers that build a fresh equal Mesh per call (the README
+            # one-liner) must hit the cached compile, and the cache must
+            # not grow per call
+            key = (
+                tuple(d.id for d in np.ravel(mesh.devices)),
+                tuple(mesh.axis_names),
+                mesh.devices.shape,
+                nr_static,
             )
+            if key not in cache:
+                sp_fn = make_sp_serve(self.cfg, mesh, nr=nr_static)
+                sp_params = jax.device_put(self.params, replicated_sharding(mesh))
+                cache[key] = (mesh, sp_fn, sp_params)
+            _, fn, params = cache[key]
+
+            if not hasattr(self, "_knn_single_jit"):
+                self._knn_single_jit = jax.jit(
+                    lambda x, a, method: knn_topology(x, a, k=64, method=method)[0],
+                    static_argnums=2,
+                )
         ids = self._knn_single_jit(
             jnp.asarray(Xp), jnp.asarray(am), self.knn_method
         )
@@ -524,9 +544,19 @@ class Predictor:
                 bmax -= bmax % ndev
                 for k in range(0, len(group), bmax):
                     chunk = group[k : k + bmax]
-                    dispatch = chunk
-                    if len(chunk) % ndev:
-                        dispatch = chunk + [chunk[0]] * (ndev - len(chunk) % ndev)
+                    # pad the dispatch to the next power of two (and the
+                    # mesh multiple) by repeating the first structure —
+                    # padded outputs are never collected. Arbitrary
+                    # remainder sizes each cost a fresh multi-second XLA
+                    # compile; powers of two bound the distinct compiled
+                    # batch shapes per bucket to log2(bmax) at <2x waste
+                    target = 1
+                    while target < len(chunk):
+                        target *= 2
+                    target = min(max(target, ndev), max(bmax, ndev))
+                    if target % ndev:
+                        target += ndev - target % ndev
+                    dispatch = chunk + [chunk[0]] * (target - len(chunk))
                     pending.append((chunk, submit(dispatch, na, nr)))
                     if len(pending) > depth:
                         collect(*pending.popleft())

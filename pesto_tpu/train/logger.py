@@ -36,14 +36,22 @@ class Logger:
             f.write(json.dumps({k: _coerce(v) for k, v in stats.items()}) + "\n")
 
     def last_entry(self):
+        """Last PARSEABLE entry: a crash mid-write leaves a torn final
+        line, which is exactly the situation resume-from-logs cares
+        about — skip back instead of raising."""
         if not os.path.isfile(self.log_lst_filepath):
             return None
-        last = None
+        entries = []
         with open(self.log_lst_filepath) as f:
             for line in f:
                 if line.strip():
-                    last = line
-        return json.loads(last) if last else None
+                    entries.append(line)
+        for line in reversed(entries):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+        return None
 
     def print_profiling_info(self, done: int, total: int):
         elapsed = time.time() - self.t_start
