@@ -226,6 +226,43 @@ class Predictor:
             ps.gather_cand, ps.gather_loc, nr=nr,
         )
 
+    def _compact_spec(self):
+        """(vocab, field) when the feature set is a single vocabulary
+        one-hot (the flagship uses element-only) — the compact integer-
+        code encoding applies; None for multi-vocabulary configs."""
+        flags = self.cfg.feature_flags
+        if sum(flags) != 1:
+            return None
+        from .encoding import std_elements, std_names, std_resnames
+
+        vocab, field = [
+            (std_elements, "element"), (std_resnames, "resname"),
+            (std_names, "name"),
+        ][list(flags).index(True)]
+        assert self.cfg.em_n0 == len(vocab) + 1, (
+            "compact codes require em_n0 == len(vocab)+1"
+        )
+        return vocab, field
+
+    def _encode_record(self, s):
+        """Structure record -> host arrays: COMPACT 4-tuple (X, q_codes,
+        rid_codes, n_res) or dense 3-tuple (X, q, M). The single shared
+        encode for predict_batch and predict_structure_sp."""
+        from .encoding import encode_features, encode_structure, vocab_codes
+
+        X = np.asarray(s["xyz"], dtype=np.float32)
+        spec = self._compact_spec()
+        if spec is not None:
+            vocab, field = spec
+            _, rid = np.unique(np.asarray(s["resid"]), return_inverse=True)
+            qc = vocab_codes(s[field], vocab)
+            return X, qc, rid.astype(np.int32), int(rid.max()) + 1
+        Xd, M = encode_structure(s)
+        feats = encode_features(s)
+        flags = self.cfg.feature_flags
+        q = np.concatenate([f for f, fl in zip(feats, flags) if fl], axis=1)
+        return Xd, q, M
+
     def probabilities(self, ps: PaddedStructure) -> np.ndarray:
         # always float32 on host (bf16 outputs are not numpy-interoperable)
         return np.asarray(jax.nn.sigmoid(self.logits(ps).astype(jnp.float32)))
@@ -248,43 +285,17 @@ class Predictor:
         when the config is single-vocabulary (the flagship) so host
         arrays stay O(N). Returns [n_res, C] probabilities."""
         from .batching import ATOM_BUCKETS, RES_BUCKETS, pick_bucket
-        from .encoding import (
-            encode_features,
-            encode_structure,
-            std_elements,
-            std_names,
-            std_resnames,
-        )
         from .parallel.mesh import replicated_sharding
         from .parallel.sp import make_sp_serve
         from .topology import knn_topology
 
-        flags = self.cfg.feature_flags
-        compact = sum(flags) == 1
-        X = np.asarray(structure["xyz"], dtype=np.float32)
+        rec = self._encode_record(structure)
+        compact = len(rec) == 4
+        X = rec[0]
         n = X.shape[0]
-        if compact:
-            vocab, field = {
-                0: (std_elements, "element"),
-                1: (std_resnames, "resname"),
-                2: (std_names, "name"),
-            }[list(flags).index(True)]
-            assert self.cfg.em_n0 == len(vocab) + 1, (
-                "compact codes require em_n0 == len(vocab)+1"
-            )
-            from .encoding import vocab_codes
-
-            qc = vocab_codes(structure[field], vocab)
-            _, rid = np.unique(np.asarray(structure["resid"]), return_inverse=True)
-            rid = rid.astype(np.int32)
-            n_res = int(rid.max()) + 1 if n else 0
-        else:
-            _, M_dense = encode_structure(structure)
-            feats = encode_features(structure)
-            qdense = np.concatenate(
-                [f for f, fl in zip(feats, flags) if fl], axis=1
-            ).astype(np.float32)
-            n_res = M_dense.shape[1]
+        n_res = rec[3] if compact else rec[2].shape[1]
+        if compact and n == 0:
+            n_res = 0
 
         na = pick_bucket(n + 1, ATOM_BUCKETS)
         nr = pick_bucket(max(n_res, 1), RES_BUCKETS)
@@ -294,14 +305,14 @@ class Predictor:
         am[1 : n + 1] = 1.0
         if compact:
             qp = np.zeros((na,), np.int32)
-            qp[1 : n + 1] = qc
+            qp[1 : n + 1] = rec[1]
             Mp = np.zeros((na,), np.int32)
-            Mp[1 : n + 1] = rid
+            Mp[1 : n + 1] = rec[2]
         else:
-            qp = np.zeros((na, qdense.shape[1]), np.float32)
-            qp[1 : n + 1] = qdense
+            qp = np.zeros((na, rec[1].shape[1]), np.float32)
+            qp[1 : n + 1] = rec[1]
             Mp = np.zeros((na, nr), np.float32)
-            Mp[1 : n + 1, :n_res] = M_dense
+            Mp[1 : n + 1, :n_res] = rec[2]
 
         nr_static = nr if compact else None
         # keyed cache under the Predictor lock (the same check-then-set
@@ -406,37 +417,15 @@ class Predictor:
         import jax
 
         from .batching import ATOM_BUCKETS, RES_BUCKETS, pick_bucket
-        from .encoding import encode_features, encode_structure
 
         try:
 
-            from .encoding import std_elements, std_names, std_resnames
-
-            flags = self.cfg.feature_flags
-            vocabs = [std_elements, std_resnames, std_names]
-            fields = ["element", "resname", "name"]
             # COMPACT encode (integer codes, expanded on device) whenever
             # the feature set is a single vocabulary one-hot (the flagship
             # uses element-only): kills the dense q and M host arrays and
             # their H2D transfer (M alone is NAxNR f32)
-            compact = sum(flags) == 1
-            if compact:
-                k = list(flags).index(True)
-                vocab, field = vocabs[k], fields[k]
-                assert self.cfg.em_n0 == len(vocab) + 1
-
-            def host_encode(s):
-                X = np.asarray(s["xyz"], dtype=np.float32)
-                if compact:
-                    from .encoding import vocab_codes
-
-                    _, rid = np.unique(np.asarray(s["resid"]), return_inverse=True)
-                    qc = vocab_codes(s[field], vocab)
-                    return X, qc, rid.astype(np.int32), int(rid.max()) + 1
-                Xd, M = encode_structure(s)
-                feats = encode_features(s)
-                q = np.concatenate([f for f, fl in zip(feats, flags) if fl], axis=1)
-                return Xd, q, M
+            compact = self._compact_spec() is not None
+            host_encode = self._encode_record
 
             def host_encode_safe(arg):
                 """Per-item tolerance: a malformed record (empty xyz,
