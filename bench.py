@@ -81,7 +81,12 @@ def _wait_for_device(max_wait_s=1200, probe_timeout_s=60):
 
 
 def main():
-    _wait_for_device()
+    if not _wait_for_device():
+        # a wedged tunnel makes the FIRST jax op hang forever; failing
+        # fast with a diagnostic beats hanging into the driver's timeout
+        log("FATAL: device did not recover within the probe budget "
+            "(wedged tunnel?) — aborting instead of hanging at backend init")
+        sys.exit(3)
 
     import jax
 
