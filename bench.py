@@ -94,11 +94,10 @@ def main():
 
     enable_compilation_cache()
 
-    from pesto_tpu.batching import attach_gather_tables, pad_structure_arrays, stack_batch
+    from pesto_tpu.batching import pad_structure_arrays, stack_batch
     from pesto_tpu.infer import Predictor
     from pesto_tpu.models import get_config
     from pesto_tpu.models.pesto import init_params
-    from pesto_tpu.spatial import morton_order
     from pesto_tpu.synthetic import random_structure_arrays
     from pesto_tpu.topology import knn_topology
 
@@ -125,7 +124,6 @@ def main():
     # an ids host round trip to build them for a ~0.4 ms/layer gain)
     import dataclasses
     import functools
-    from concurrent.futures import ThreadPoolExecutor
 
     from pesto_tpu.batching import BatchEncoder
 
@@ -193,11 +191,8 @@ def main():
     t_encode = max(t_encode, B * knn_ms * 1e-3)
     log(f"encode+knn for B={B} (steady): {t_encode*1e3:.0f} ms")
 
-    # forward stage. fp32 runs WITHOUT gather tables (the production
-    # gating: one-hot MXU selection wins in bf16, but fp32-HIGHEST
-    # one-hot matmuls are 3-pass and lose badly to the row gather)
-    import dataclasses
-
+    # forward stage (both precisions run table-free: BatchEncoder never
+    # attaches gather tables — serving keeps ids device-resident)
     dt16 = bench_forward(pred16, batch)
     log(f"bf16 forward: {dt16*1e3:.0f} ms/batch")
     dt32 = bench_forward(pred32, batch)
@@ -410,11 +405,17 @@ def main():
             for hb in loader:
                 st, out = jstep(st, jax.device_put(hb))
                 steps += 1
+        eval_out = None
         for hb in loader:  # eval pass
-            _ = jeval(st, jax.device_put(hb))["loss"]
+            eval_out = jeval(st, jax.device_put(hb))["loss"]
         with tempfile.TemporaryDirectory() as ckdir:
             save_checkpoint(ckdir, st)
         _ = float(out["loss"])
+        if eval_out is not None:
+            # force the eval dispatches to complete before reading the
+            # clock: syncing only the train-step buffers excluded the
+            # still-executing eval programs from t_mix
+            _ = float(np.asarray(eval_out).ravel()[0])
         t_mix = time.perf_counter() - t0
         atoms_total = 2 * sum(a for a, _ in sizes)
         train_mixed = {

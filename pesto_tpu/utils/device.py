@@ -15,10 +15,20 @@ import time
 
 def wait_for_device(max_wait_s: float = 600, probe_timeout_s: float = 60,
                     log=None, sleep_s: float = 60) -> bool:
-    """Block until a trivial jax computation succeeds in a subprocess.
-    Returns True when the device answered, False when the budget ran out
-    (callers decide whether to proceed anyway). No-op (~5 s) when the
-    device is healthy."""
+    """Block until a trivial jax computation succeeds in a subprocess ON
+    THE EXPECTED BACKEND. Returns True when the device answered, False
+    when the budget ran out (callers decide whether to proceed anyway).
+    No-op (~5 s) when the device is healthy.
+
+    The probe reports the platform it actually ran on: when a broken TPU
+    plugin fails FAST (e.g. libtpu client/server skew), jax silently
+    falls back to CPU and a naive probe would declare the device healthy
+    — then a benchmark would print per-chip TPU numbers measured on the
+    host. A CPU platform only counts as success when the caller's env
+    pinned it (JAX_PLATFORMS=cpu)."""
+    import os
+
+    cpu_pinned = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
     t0 = time.time()
     attempt = 0
     while True:
@@ -26,13 +36,20 @@ def wait_for_device(max_wait_s: float = 600, probe_timeout_s: float = 60,
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; print(float(jnp.ones(3).sum()))"],
-                timeout=probe_timeout_s, capture_output=True,
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.ones(3).sum()), jax.devices()[0].platform)"],
+                timeout=probe_timeout_s, capture_output=True, text=True,
             )
             if r.returncode == 0:
-                if attempt > 1 and log:
-                    log(f"device recovered after {time.time()-t0:.0f}s")
-                return True
+                platform = r.stdout.split()[-1] if r.stdout.split() else "?"
+                if platform == "cpu" and not cpu_pinned:
+                    if log:
+                        log("device probe fell back to CPU (broken device "
+                            "plugin?); not counting as healthy")
+                else:
+                    if attempt > 1 and log:
+                        log(f"device recovered after {time.time()-t0:.0f}s")
+                    return True
         except subprocess.TimeoutExpired:
             pass
         waited = time.time() - t0

@@ -79,7 +79,8 @@ def main():
         cfg = get_config("i_v4_0", remat=True)
         tables = False
     else:
-        cfg = get_config("i_v4_0", dtype="bfloat16", remat=True, remat_policy="dots_nb")
+        cfg = get_config("i_v4_0", dtype="bfloat16", precision="default",
+                 remat=True, remat_policy="dots_nb")
         tables = True
     params = load_reference_checkpoint(REF_CKPT, cfg)
     state, tx = create_train_state(cfg, learning_rate=1e-5, params=params)
@@ -95,8 +96,11 @@ def main():
 
     steps = 0
     t0 = time.time()
+    train_loader = mkloader(True)  # ONE instance: epoch advances on
+    # re-iteration, so each epoch reshuffles (a fresh loader per epoch
+    # replays the identical batch order)
     while steps < args.steps:
-        for batch in mkloader(True):
+        for batch in train_loader:
             state, out = train_step(state, batch)
             steps += 1
             if steps >= args.steps:

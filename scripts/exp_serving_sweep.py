@@ -15,10 +15,11 @@ dispatch granularity.
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):
@@ -32,9 +33,9 @@ def main():
     ap.add_argument("--atoms", type=int, default=8191)
     args = ap.parse_args()
 
-    from bench import _wait_for_device
+    from pesto_tpu.utils import wait_for_device
 
-    if not _wait_for_device(max_wait_s=600):
+    if not wait_for_device(max_wait_s=600, log=log):
         sys.exit("device unavailable")
 
     from pesto_tpu.infer import Predictor

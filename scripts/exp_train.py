@@ -32,6 +32,11 @@ from pesto_tpu.train.step import build_train_step_fn
 def bench(dtype, remat_policy, donate=True, B=16, tables=False):
     remat = remat_policy != "none"
     kw = {"dtype": dtype, "remat": remat}
+    if dtype == "bfloat16":
+        # the production bf16 path (train_cli, bench.py) pairs bf16 with
+        # DEFAULT matmul precision; inheriting the config default
+        # ("highest") measures slow multi-pass bf16 matmuls instead
+        kw["precision"] = "default"
     if remat and remat_policy != "full":
         kw["remat_policy"] = remat_policy
     cfg = get_config("i_v4_1", **kw)
