@@ -69,7 +69,9 @@ def test_benchmark_ppi_one_structure(tmp_path):
     assert len(rows) == 1
     auc = float(rows[0]["auc_ours"])
     ref = float(rows[0]["auc_reference"])
-    assert 0.0 <= auc <= 1.0
-    # our ported-model AUC should be in the same regime as the reference
-    # prediction scored on the same truth (both models, same weights)
-    assert abs(auc - ref) < 0.2
+    # PIN the deterministic value (ported i_v4_0 on the smallest pdbs_test
+    # structure, 2V9T_1_B): a regime check alone would absorb serious
+    # scoring/bucketing bugs. The committed reference prediction (0.9673,
+    # different weights) is sanity only.
+    assert abs(auc - 0.9416) < 0.01, auc
+    assert ref > 0.9

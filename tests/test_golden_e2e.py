@@ -173,10 +173,15 @@ def test_predict_batch_deep_pipeline_buffer_rotation():
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
 
 
-def test_predict_batch_honors_knn_method_mutation():
+def test_predict_batch_honors_knn_method_mutation(monkeypatch):
     """`pred.knn_method = "fast"` after a first predict_batch call must
-    change the dispatched program (the method rides as a static jit arg;
-    it used to be baked into the first trace and silently ignored)."""
+    reach the dispatched program (the method used to be baked into the
+    first trace and silently ignored). The actual attribute-read path is
+    exercised: predict_batch runs once with 'exact', the attribute is
+    mutated, and the recorded kNN method of the SECOND run must be
+    'fast' — a regression that reuses the first trace never retraces, so
+    the recorder never sees the new method."""
+    from pesto_tpu import topology as topo_mod
     from pesto_tpu.infer import Predictor
     from pesto_tpu.models import get_config
     from pesto_tpu.models.pesto import init_params
@@ -186,19 +191,22 @@ def test_predict_batch_honors_knn_method_mutation():
     cfg = base.replace(layers=base.layers[:1])
     pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
     recs = [random_structure_record(n_atoms=500, n_res=64, seed=i) for i in range(2)]
-    _ = pred.predict_batch(recs)
 
-    import jax
-    import numpy as np_
+    seen = []
+    real = topo_mod.knn_topology_batch
 
-    X = np_.zeros((2, 1024, 3), np_.float32)
-    q = np_.zeros((2, 1024), np_.int32)
-    M = np_.zeros((2, 1024), np_.int32)
-    am = np_.zeros((2, 1024), np_.float32)
-    exact_txt = pred._fused_serve.lower(
-        pred.params, X, q, M, am, nr=128, knn_method="exact").as_text()
-    fast_txt = pred._fused_serve.lower(
-        pred.params, X, q, M, am, nr=128, knn_method="fast").as_text()
-    # fast mode's ApproxTopK partial reduce appears only in the fast trace
-    assert ("approx_top_k" in fast_txt.lower()) or ("approxtopk" in fast_txt.lower())
-    assert "approx" not in exact_txt.lower()
+    def recorder(Xb, amb, k=64, method="exact"):
+        seen.append(method)  # runs at TRACE time only
+        return real(Xb, amb, k=k, method=method)
+
+    monkeypatch.setattr(topo_mod, "knn_topology_batch", recorder)
+    a = pred.predict_batch(recs)
+    assert seen == ["exact"]
+    pred.knn_method = "fast"
+    b = pred.predict_batch(recs)
+    assert "fast" in seen, (
+        "knn_method mutation never reached the dispatch — the first "
+        "trace was reused"
+    )
+    for x, y in zip(a, b):
+        assert x.shape == y.shape

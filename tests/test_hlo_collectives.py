@@ -72,8 +72,13 @@ def test_dp_train_step_collectives(mesh):
     # the flat-batch neighbor take — 8 at 4 scan groups — which is why
     # shard_map is the default; see parallel/dp.py.)
     assert c["all-gather"] == 0, c
-    assert c["all-reduce"] <= 16, c
+    # gradient/loss reduction MUST exist: a refactor that drops the psums
+    # would let replicas silently diverge on a real pod (and zero
+    # all-reduce would pass a <=-only bound)
+    assert 1 <= c["all-reduce"] <= 16, c
     assert c["all-to-all"] == 0, c
+    assert c["reduce-scatter"] == 0, c
+    assert c["collective-permute"] == 0, c
     # snapshot for visibility in failures
     print("DP collectives:", c, "layers:", n_layers)
 
@@ -105,4 +110,8 @@ def test_sp_forward_collectives():
     # O(layers * tensors)
     assert 0 < c["all-gather"] <= 3 * n_layers + 8, c
     assert c["all-to-all"] == 0, c
+    # the docstring's promised psums for the global reductions (Dmax,
+    # residue-pool softmax): dropping them would sum only over the local
+    # atom shard — wrong logits on a real mesh
+    assert c["all-reduce"] >= 1, c
     print("SP collectives:", c, "layers:", n_layers)

@@ -13,12 +13,13 @@ during rounds 2-3:
     second dynamic gather per layer (e.g. the q and p gathers splitting
     apart again) re-adds the dominant per-layer cost;
   - in-bounds gathers: `mode="clip"` kills XLA's NaN-fill select pass
-    (~23 ms of broadcast_select fusions per forward, commit 131dc59).
+    (~23 ms/forward of broadcast_select fusions, commit 131dc59).
 
 Nothing here runs on a TPU — the contract is pinned on the lowered
-StableHLO, which is backend-independent. Known-benign f32 at edge scale:
-jnp.sum's reduce-accumulation upcast around the two projection sums
-(convert -> reduce -> convert, fused by XLA into one pass on-chip).
+StableHLO, which is backend-independent. Each marker the tests grep for
+is SELF-CHECKED against a miniature lowering that deliberately contains
+the regression, so a jax version that changes the text form fails the
+self-check loudly instead of leaving a vacuous guard.
 """
 
 import re
@@ -33,6 +34,9 @@ from pesto_tpu.models import PestoModel, get_config  # noqa: E402
 from pesto_tpu.models.pesto import init_params  # noqa: E402
 
 NA, NR = 512, 64
+# smallest edge tensor of the stack: [NA, nn=8, S=32] — any f32 tensor
+# this big (or bigger) is edge-scale compute
+EDGE_NUMEL = NA * 8 * 32
 
 
 @pytest.fixture(scope="module")
@@ -50,18 +54,32 @@ def lowered_text():
     return fn.lower(params, X, ids, q0, M, am).as_text()
 
 
+def _tensor_shapes(text):
+    """All (shape, dtype) tensor types appearing per line."""
+    for ln in text.splitlines():
+        for m in re.finditer(r"tensor<((?:\d+x)+)(f32|bf16|f16)>", ln):
+            dims = [int(d) for d in m.group(1).rstrip("x").split("x")]
+            yield ln, dims, m.group(2)
+
+
 def test_edge_tensors_stay_bf16(lowered_text):
-    """No f32 compute at edge-tensor scale ([NA, nn, >=S]): the only f32
-    appearances allowed there are jnp.sum's reduce-accumulation pattern
-    (convert/reduce lines). A mul/add/select/dot line on an f32 edge
-    tensor means the bf16 stream broke."""
-    edge_f32 = re.compile(rf"tensor<{NA}x64x(?:\d+x)?(?:3[2-9]|\d{{3,}})xf32>")
-    viol = [
-        ln.strip()[:160]
-        for ln in lowered_text.splitlines()
-        if edge_f32.search(ln)
-        and not re.search(r"stablehlo\.(reduce|convert)", ln)
-    ]
+    """No f32 compute at edge-tensor scale: any rank>=3 f32 tensor with
+    >= EDGE_NUMEL elements is a violation unless the line is a
+    reduce-accumulation pattern (jnp.sum's convert/reduce upcast, which
+    XLA fuses into one pass on-chip). Covers every nn group (8/16/32/64)
+    and scan-stacked 4-D forms — the earlier regex only watched nn=64."""
+    viol = []
+    for ln, dims, dt in _tensor_shapes(lowered_text):
+        if dt != "f32" or len(dims) < 3:
+            continue
+        # edge tensors carry the S(=32)-wide feature axis last; the
+        # residue pool's one-time [NA, NR, 2Nh] f32 softmax (runs once
+        # per forward, not per layer) has a narrow trailing axis
+        if int(np.prod(dims)) < EDGE_NUMEL or dims[-1] < 32:
+            continue
+        if re.search(r"stablehlo\.(reduce|convert)", ln):
+            continue
+        viol.append(ln.strip()[:140])
     assert not viol, f"f32 edge-scale compute (bf16 stream broken): {viol[:4]}"
 
 
@@ -78,10 +96,24 @@ def test_dynamic_gather_count(lowered_text):
     assert len(dyn) == 5, f"dynamic gather count {len(dyn)} != 5"
 
 
+NAN_MARKERS = ("0x7FC0", "0x7fc0")  # f32 NaN dense<0x7FC00000>, bf16 dense<0x7FC0>
+
+
 def test_gathers_promise_in_bounds(lowered_text):
-    """mode=clip lowers to clamped indices, never a select-NaN fill; the
-    NaN-fill pattern (select over gather output against a NaN constant)
-    must stay absent (commit 131dc59: ~23 ms/forward of
-    broadcast_select fusions)."""
-    nan_selects = re.findall(r"select.*nan", lowered_text, flags=re.I)
-    assert not nan_selects, "gather NaN-fill select pass re-appeared"
+    """mode=clip lowers to clamped indices with no NaN fill. The marker
+    (a NaN constant in the lowering) is self-checked against a
+    deliberate fill-mode gather so a jax text-format change cannot turn
+    this guard vacuous (an earlier `select.*nan` regex matched nothing:
+    the constant and the select lower on separate lines)."""
+    x = jnp.zeros((4, 3), jnp.float32)
+    i = jnp.zeros((2, 2), jnp.int32)
+    fill_text = jax.jit(
+        lambda x, i: jnp.take(x, i, axis=0, mode="fill", fill_value=jnp.nan)
+    ).lower(x, i).as_text()
+    assert any(m in fill_text for m in NAN_MARKERS), (
+        "marker self-check failed: NaN-fill lowering no longer carries a "
+        "recognizable NaN constant — update NAN_MARKERS"
+    )
+    assert not any(m in lowered_text for m in NAN_MARKERS), (
+        "gather NaN-fill pass re-appeared (mode=clip lost?)"
+    )

@@ -108,9 +108,12 @@ def test_bfactor_parsed_and_survives_cleaning():
     raw = np.array(
         [float(l[60:66]) for l in open(path) if l.startswith(("ATOM", "HETATM"))]
     )
-    # reader may drop altloc duplicates; compare where counts align
-    if len(raw) == len(s["bfactor"]):
-        np.testing.assert_allclose(s["bfactor"], raw, atol=1e-3)
+    # the values must ACTUALLY match (a silent `if counts align` guard
+    # would skip the only value comparison exactly when the reader starts
+    # dropping rows while misassigning columns); this file carries no
+    # altloc duplicates, so the counts are required to align
+    assert len(raw) == len(s["bfactor"]), (len(raw), len(s["bfactor"]))
+    np.testing.assert_allclose(s["bfactor"], raw, atol=1e-3)
     assert s["bfactor"].std() > 0  # real values, not zeros
 
     c = clean_structure(s)

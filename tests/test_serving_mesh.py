@@ -108,3 +108,9 @@ def test_sp_serve_mega_structure(setup):
     assert p_sp.shape == (n // 8, cfg.dm_n2)
     assert np.isfinite(p_sp).all()
     assert (p_sp > 0).all() and (p_sp < 1).all()
+    # PARITY, not just plausibility: the sharded mega-bucket forward must
+    # reproduce the single-device prediction at the same bucket — shape/
+    # finiteness alone would certify garbage if the atom-axis sharding
+    # corrupted the neighbor gathers across shard boundaries
+    p_single = pred.predict_structure(dict(rec))
+    np.testing.assert_allclose(p_sp, p_single, atol=2e-4, rtol=2e-4)
