@@ -73,7 +73,6 @@ class Predictor:
             # tests/test_serving_mesh.py); throughput scales with the
             # mesh. predict_batch pads each chunk to a multiple of the
             # data-axis size.
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             from .parallel.mesh import replicated_sharding
@@ -85,12 +84,12 @@ class Predictor:
                 fn = lambda p, x, qq, mm, a: self._knn_forward_sigmoid(  # noqa: E731
                     p, x, qq, mm, a, nr=nr, knn_method=knn_method
                 )
-                return shard_map(
+                return jax.shard_map(
                     fn,
                     mesh=mesh,
                     in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
                     out_specs=P("data"),
-                    check_rep=False,
+                    check_vma=False,
                 )(params, X, q, M, am)
 
             self._fused_serve = jax.jit(
