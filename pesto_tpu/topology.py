@@ -68,14 +68,29 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
                        method: str = "exact"):
     """Batched kNN topology [B, NA, ...] -> ([B, NA, k], ...).
 
-    For method="pallas" this exists for a semantic reason, not
-    convenience: vmapping knn_topology would batch the per-structure
-    overflow predicate, turning its lax.cond into a select that runs the
-    Pallas kernel AND the full exact path for every batch. Here the
-    kernel vmaps and ONE scalar cond (any structure overflowed) picks the
-    exact path for the whole batch — overflow is rare (W=384 covers the
-    measured Morton-discontinuity tails), so the common case runs the
-    kernel alone."""
+    For method="pallas" and method="exact2" this exists for a semantic
+    reason, not convenience: vmapping knn_topology would batch the
+    per-structure overflow predicate, turning its lax.cond into a select
+    that runs the fast path AND the full exact path for every batch.
+    Here the fast path vmaps and ONE scalar cond (any structure
+    overflowed) picks the exact path for the whole batch — overflow is
+    rare (W=384 covers the measured Morton-discontinuity tails; exact2's
+    candidate slack covers every row with >= k real neighbors), so the
+    common case runs the fast path alone."""
+    if method == "exact2":
+        parts = jax.vmap(lambda X, am: _knn_core(X, am, k, None, "exact2"))(
+            Xb, atom_mask_b
+        )
+        ids, ok, Dmax, ovf = parts
+        exact = lambda _: jax.vmap(  # noqa: E731
+            lambda X, am: knn_topology(X, am, k=k, method="exact")
+        )(Xb, atom_mask_b)
+        return jax.lax.cond(
+            jnp.any(ovf),
+            exact,
+            lambda _: jax.vmap(_finish_topology)(Xb, ids, ok, Dmax),
+            operand=None,
+        )
     if method == "pallas":
         from .ops.knn_pallas import HALF, RB
 
@@ -121,15 +136,22 @@ def knn_topology(
                  sink row and padding rows.
       k:         number of neighbors (reference uses 64).
       row_block: row tile size for the blocked distance computation.
-      method:    "exact" (reference-parity lax.top_k) or "fast"
+      method:    "exact" (reference-parity lax.top_k), "fast"
                  (ApproxTopK partial reduce + packed-key top-k; ~99.2%
                  neighbor-set agreement on protein-density clouds, far-tail
-                 swaps only; ~3x faster selection — see the fast branch).
-                 Tested contract (tests/test_topology.py property cases):
-                 the exact top-32 PREFIX is never dropped, and worst-case
-                 per-row neighbor-set recall on adversarial geometries is
-                 >= 0.875 (regular lattice, maximal ties), >= 0.984
-                 (dense cluster + far outliers), 1.0 (colinear chain).
+                 swaps only; ~3x faster selection — see the fast branch),
+                 or "exact2" (EXACT results by construction at near-fast
+                 cost: partial-reduce threshold over-estimate + values-only
+                 candidate compaction + tiny re-sort; rows that overflow
+                 the candidate slack raise a scalar flag and the structure
+                 re-runs the plain exact path — see the exact2 branch).
+                 Fast-mode tested contract (tests/test_topology.py
+                 property cases): the exact top-32 PREFIX is never
+                 dropped, and worst-case per-row neighbor-set recall on
+                 adversarial geometries is >= 0.875 (regular lattice,
+                 maximal ties), >= 0.984 (dense cluster + far outliers),
+                 1.0 (colinear chain). exact2 is bit-identical to exact
+                 on every geometry (the fallback guarantees it).
 
     Returns:
       ids_topk:  [NA, k] int32 neighbor ids into the padded array; invalid
@@ -158,6 +180,26 @@ def knn_topology(
                 operand=None,
             )
         method = "exact"
+    ids, ok, Dmax, ovf = _knn_core(Xp, atom_mask, k, row_block, method)
+    if method == "exact2":
+        return jax.lax.cond(
+            ovf,
+            lambda _: knn_topology(Xp, atom_mask, k=k, row_block=row_block,
+                                   method="exact"),
+            lambda _: _finish_topology(Xp, ids, ok, Dmax),
+            operand=None,
+        )
+    return _finish_topology(Xp, ids, ok, Dmax)
+
+
+def _knn_core(Xp, atom_mask, k, row_block, method):
+    """Blocked distance computation + top-k selection (no finalization).
+
+    Returns (ids [NA,k] int32, ok [NA,k] bool, Dmax scalar, overflow
+    scalar bool). overflow is always False for "exact"/"fast"; for
+    "exact2" it means at least one valid row's candidate set outgrew the
+    slack and the caller must re-run the exact path."""
+    NA = Xp.shape[0]
     if row_block is None:
         # one shot when the [row_block, NA] distance block fits comfortably
         # (<= ~256 MB); larger structures process in row blocks via lax.map
@@ -220,13 +262,53 @@ def knn_topology(
     n_chunks = NA // W if (NA % W == 0 and NA // W >= 2) else 1
 
     def block_topk(xb, sb, mb, ob):
-        """Returns (ids [rb,k] int32, ok [rb,k] bool, block Dsq max)."""
+        """Returns (ids [rb,k] int32, ok [rb,k] bool, block Dsq max,
+        block overflow bool)."""
         Dsq, pair_ok = block_dsq(xb, sb, mb)
         bmax = jnp.max(jnp.where(pair_ok, Dsq, -jnp.inf))
         Dsq = Dsq + _PUSH * block_dup(Dsq, ob).astype(Dsq.dtype)
         Dsq = jnp.where(pair_ok, Dsq, _BIG)
         rb = Dsq.shape[0]
-        if method == "fast" and NA > 2 * k:
+        ovf = jnp.asarray(False)
+        if method == "exact2" and n_chunks > 1:
+            # EXACT selection at near-"fast" cost. The partial tournament
+            # reduce (aggregate_to_topk=False) returns a SUBSET of each
+            # row's true values, so the subset's k-th smallest Dsq can
+            # only be >= the true k-th smallest — an over-estimated
+            # threshold whose ball {Dsq <= thr} is guaranteed to contain
+            # every true top-k member, regardless of the reduce's recall.
+            # Compacting that ball with a values-only int top-k (column
+            # ids as keys — XLA's TopK with index tracking costs ~3x a
+            # values-only pass on these shapes) and re-sorting the
+            # survivors by true Dsq reproduces the exact result whenever
+            # the ball fits the k+32 slack. Rows where it doesn't (>= 32
+            # f32-identical distance ties at the threshold, or rows with
+            # fewer than ~k real candidates, where thr lands in the
+            # pushed-duplicate/invalid value clusters) raise the scalar
+            # overflow flag and the CALLER re-runs the plain exact path
+            # for the whole structure/batch. Tie order matches "exact":
+            # candidates come out in ascending column order and the final
+            # stable top_k picks the earliest column among equal Dsq.
+            L = min(k + 32, NA)
+            neg_part = jax.lax.approx_max_k(
+                jax.lax.optimization_barrier(-Dsq), L,
+                recall_target=0.95, aggregate_to_topk=False,
+            )[0]
+            kth = min(k, neg_part.shape[1])
+            thr = -jax.lax.top_k(neg_part, kth)[0][:, -1]  # >= true kth Dsq
+            kk = k + 32
+            in_ball = Dsq <= thr[:, None]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (rb, NA), 1)
+            keys = jnp.where(in_ball, cols, jnp.int32(NA))
+            kc2 = min(kk, W)
+            c1 = jax.lax.top_k(-keys.reshape(rb * n_chunks, W), kc2)[0]
+            cand = -jax.lax.top_k(c1.reshape(rb, n_chunks * kc2), kk)[0]
+            ovf = jnp.any((mb > 0) & (jnp.sum(in_ball, axis=1) > kk))
+            dc = jnp.take_along_axis(Dsq, jnp.clip(cand, 0, NA - 1), axis=1)
+            dc = jnp.where(cand >= NA, _BIG, dc)
+            neg_top, i2 = jax.lax.top_k(-dc, k)  # [rb, kk] — tiny
+            ids = jnp.take_along_axis(cand, i2, axis=1)
+        elif method == "fast" and NA > 2 * k:
             # ApproxTopK PARTIAL reduce (aggregate_to_topk=False) is a
             # single cheap tournament pass (~1.5 ms at 8k); XLA's own
             # aggregation re-runs a full-width top-k WITH index tracking,
@@ -265,16 +347,17 @@ def knn_topology(
         else:
             neg_top, ids = jax.lax.top_k(-Dsq, k)
         ok = -neg_top < (_BIG * 0.5)
-        return jnp.where(ok, ids, 0).astype(jnp.int32), ok, bmax
+        return jnp.where(ok, ids, 0).astype(jnp.int32), ok, bmax, ovf
 
-    ids, ok, bmaxes = jax.lax.map(lambda a: block_topk(*a), (Xb, Sb, Mb, Ob))
+    ids, ok, bmaxes, ovfs = jax.lax.map(
+        lambda a: block_topk(*a), (Xb, Sb, Mb, Ob)
+    )
     ids = ids.reshape(nb * row_block, k)[:NA]
     ok = ok.reshape(nb * row_block, k)[:NA]
     Dmax = jnp.sqrt(jnp.maximum(jnp.max(bmaxes), 0.0)).astype(jnp.float32)
-
-    # exact distances / unit displacements for the selected neighbors only,
+    # exact distances / unit displacements happen in _finish_topology,
     # with the reference's self/duplicate masking (src/data_encoding.py:93)
-    return _finish_topology(Xp, ids, ok, Dmax)
+    return ids, ok, Dmax, jnp.any(ovfs)
 
 
 def extract_topology(X: np.ndarray, num_nn: int = 64):

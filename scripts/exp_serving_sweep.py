@@ -1,7 +1,7 @@
 """Serving-throughput sweep: find the best predict_batch operating point.
 
 Sweeps the knobs bench.py pins at their defaults — kNN method (exact /
-fast / pallas), per-dispatch atom budget (chunk batch size), and
+exact2 / fast / pallas), per-dispatch atom budget (chunk batch size), and
 software-pipeline depth — over the bench workload (12 structures x 8k
 atoms, flagship 32-layer bf16 config) and prints a ranked table. Run on
 a healthy TPU after a toolchain change or before re-baselining bench.py:
@@ -60,7 +60,7 @@ def main():
     reps = 2 if args.quick else 3
 
     rows = []
-    for method in ("exact", "fast", "pallas"):
+    for method in ("exact", "exact2", "fast", "pallas"):
         try:
             pred = Predictor(cfg, params, knn_method=method)
             for atoms_per_call in (32768, 65536):

@@ -172,3 +172,58 @@ def test_knn_fast_contract_colinear():
     X = np.stack([t, np.zeros_like(t), np.zeros_like(t)], axis=1)
     Xp, mask, n = _pad(X)
     _assert_fast_contract(Xp, mask, n, min_recall=0.99, label="colinear")
+
+
+def _exact2_identical(Xp, mask, k=64, label=""):
+    e = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=k, method="exact")
+    t = knn_topology(jnp.asarray(Xp), jnp.asarray(mask), k=k, method="exact2")
+    for name, a, b in zip(("ids", "d", "r"), e, t):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (label, name)
+
+
+def test_knn_exact2_identical_cloud_and_dups():
+    """exact2 (threshold over-estimate + values-only candidate
+    compaction) must be BIT-identical to exact — including tie order —
+    on protein-like clouds and with exact duplicate atoms."""
+    X = _rand_coords(1800, seed=21) * 2
+    Xp, mask, _ = _pad(X)
+    _exact2_identical(Xp, mask, label="cloud")
+    X2 = X.copy()
+    X2[100:130] = X2[200:230]  # duplicate-distance push semantics
+    Xp, mask, _ = _pad(X2)
+    _exact2_identical(Xp, mask, label="dups")
+
+
+def test_knn_exact2_identical_adversarial_fallback():
+    """Geometries that overflow the candidate slack (lattice ties) or
+    land the threshold in the pushed/invalid clusters (tiny structure in
+    a big bucket) must take the scalar-overflow fallback and still
+    return the exact result bit-for-bit."""
+    g = np.stack(np.meshgrid(*[np.arange(12.0)] * 3), -1).reshape(-1, 3)
+    Xp, mask, _ = _pad(g.astype(np.float32)[:1500])
+    _exact2_identical(Xp, mask, label="lattice")
+    X = _rand_coords(40, seed=3)
+    Xp = np.zeros((1024, 3), np.float32)
+    Xp[1:41] = X
+    mask = np.zeros(1024, np.float32)
+    mask[1:41] = 1.0
+    _exact2_identical(Xp, mask, label="tiny-in-big-bucket")
+
+
+def test_knn_exact2_batch_hoisted_cond():
+    """knn_topology_batch(method='exact2') hoists ONE scalar overflow
+    cond over the whole batch; results must match the exact batch."""
+    from pesto_tpu.topology import knn_topology_batch
+
+    X1 = _rand_coords(1700, seed=7) * 2
+    X2 = _rand_coords(1400, seed=8) * 2
+    NA = 2048
+    Xb = np.zeros((2, NA, 3), np.float32)
+    mb = np.zeros((2, NA), np.float32)
+    for i, X in enumerate((X1, X2)):
+        Xb[i, 1 : len(X) + 1] = X
+        mb[i, 1 : len(X) + 1] = 1.0
+    e = knn_topology_batch(jnp.asarray(Xb), jnp.asarray(mb), k=64, method="exact")
+    t = knn_topology_batch(jnp.asarray(Xb), jnp.asarray(mb), k=64, method="exact2")
+    for name, a, b in zip(("ids", "d", "r"), e, t):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
