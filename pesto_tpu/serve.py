@@ -1,0 +1,348 @@
+"""Batching inference server: concurrent PDB/mmCIF requests -> one
+device dispatch.
+
+The reference ships notebook-driven inference only; this is the
+production front half a serving deployment needs around the TPU
+program. Design is TPU-first in the same sense as `infer.Predictor`:
+the chip wants few, large, fixed-shape dispatches, so the server's job
+is to turn many small concurrent HTTP requests into exactly that —
+
+  - handler threads parse/clean each request's structure (host work,
+    overlaps device execution) and block on a per-request event;
+  - ONE batcher thread drains the queue, groups whatever arrived within
+    `max_wait_ms` of the first pending request (up to `max_batch`), and
+    makes a single `Predictor.predict_batch` call — which itself
+    bucket-groups, software-pipelines, and serves per-item failures as
+    None without failing neighbors (infer.py predict_batch contract);
+  - per-item errors (unparseable file, over-bucket structure) map to
+    HTTP 400/413 for that request only.
+
+Endpoints:
+  POST /v1/predict       body = PDB text (or gzip with Content-Encoding:
+                         gzip; mmCIF with Content-Type: chemical/x-cif).
+                         Returns JSON {"classes": N, "residues": R,
+                         "probabilities": [[...N floats] x R]} or, with
+                         ?format=pdb&class=K, the annotated PDB with the
+                         class-K prediction in the B-factor column (the
+                         apply_model output layout).
+  GET  /healthz          liveness + device/model info.
+  GET  /v1/stats         request/batch/latency counters.
+
+Usage:
+  python -m pesto_tpu.serve --ckpt model.pt [--port 8490] [--bf16]
+      [--fast-knn] [--max-batch 16] [--max-wait-ms 20]
+
+Tests drive the full HTTP surface in-process (tests/test_serve.py).
+"""
+
+import gzip
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import queue
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class _Pending:
+    __slots__ = ("structure", "event", "probs", "error", "t_enqueue")
+
+    def __init__(self, structure):
+        self.structure = structure
+        self.event = threading.Event()
+        self.probs = None
+        self.error = None
+        self.t_enqueue = time.monotonic()
+
+
+class BatchingService:
+    """Cross-request batcher: many concurrent predict() calls -> few
+    predict_batch dispatches. Thread-safe; predict() blocks the calling
+    thread until its batch is served."""
+
+    def __init__(self, predictor, max_batch: int = 16, max_wait_ms: float = 20.0):
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._q = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {
+            "requests": 0, "errors": 0, "batches": 0, "batched_items": 0,
+            "max_batch_seen": 0, "atoms": 0, "residues": 0,
+            "batch_ms_total": 0.0,
+        }
+        self._stats_lock = threading.Lock()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="pesto-batcher")
+        self._thread.start()
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the drain
+        self._thread.join(timeout=10.0)
+
+    def predict(self, structure, timeout_s: float = 300.0):
+        """Enqueue one cleaned structure; returns (probs, None) or
+        (None, error_message)."""
+        p = _Pending(structure)
+        self._q.put(p)
+        if not p.event.wait(timeout_s):
+            return None, "prediction timed out"
+        return p.probs, p.error
+
+    # -- batcher thread ---------------------------------------------------
+    def _collect(self):
+        """Block for the first pending request, then keep draining until
+        max_batch or until max_wait_ms passed since the first arrival."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            rem = deadline - time.monotonic()
+            if rem <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=rem)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            t0 = time.monotonic()
+            try:
+                probs = self.predictor.predict_batch(
+                    [p.structure for p in batch]
+                )
+            except Exception as e:  # noqa: BLE001 — batch-level failure
+                for p in batch:
+                    p.error = f"{type(e).__name__}: {e}"
+                    p.event.set()
+                with self._stats_lock:
+                    self.stats["errors"] += len(batch)
+                continue
+            dt_ms = (time.monotonic() - t0) * 1e3
+            n_res = 0
+            for p, pr in zip(batch, probs):
+                if pr is None:
+                    # predict_batch's per-item degradation contract
+                    p.error = "structure could not be predicted (see server log)"
+                else:
+                    p.probs = pr
+                    n_res += pr.shape[0]
+                p.event.set()
+            with self._stats_lock:
+                st = self.stats
+                st["batches"] += 1
+                st["batched_items"] += len(batch)
+                st["max_batch_seen"] = max(st["max_batch_seen"], len(batch))
+                st["requests"] += len(batch)
+                st["errors"] += sum(1 for p in batch if p.error)
+                st["atoms"] += sum(
+                    int(p.structure["xyz"].shape[0]) for p in batch
+                )
+                st["residues"] += n_res
+                st["batch_ms_total"] += dt_ms
+
+    def snapshot(self):
+        with self._stats_lock:
+            return dict(self.stats)
+
+
+def _parse_body_to_structure(body: bytes, content_type: str, encoding: str):
+    """Request bytes -> cleaned merged structure (the apply_model host
+    path). Raises ValueError on unusable input."""
+    from .io import read_structure
+    from .structure import concatenate_chains, preprocess_structure
+
+    if encoding == "gzip":
+        body = gzip.decompress(body)
+    if not body.strip():
+        raise ValueError("empty request body")
+    suffix = ".cif" if "cif" in (content_type or "") else ".pdb"
+    # the readers are path-based (shared with the native C++ parser);
+    # spool to tmpfs — parse cost dominates the write
+    with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
+        f.write(body)
+        path = f.name
+    try:
+        subunits = preprocess_structure(read_structure(path))
+        return concatenate_chains(subunits)
+    finally:
+        os.unlink(path)
+
+
+def _annotated_pdb(structure, p_class) -> bytes:
+    from .io.pdb import save_pdb
+    from .structure import encode_bfactor, split_by_chain
+
+    s = encode_bfactor(dict(structure), p_class)
+    # save_pdb writes to a path (shared with the CLI's writer)
+    fd, path = tempfile.mkstemp(suffix=".pdb")
+    os.close(fd)
+    try:
+        save_pdb(split_by_chain(s), path)
+        with open(path, "rb") as fh:
+            return fh.read()
+    finally:
+        os.unlink(path)
+
+
+def make_server(service: BatchingService, host: str = "127.0.0.1",
+                port: int = 8490, model_name: str = "?"):
+    """Build (not start) the ThreadingHTTPServer. Tests call
+    serve_forever on a thread; main() blocks on it."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # stderr, not stdout
+            sys.stderr.write("serve: %s\n" % (fmt % args))
+
+        def _send(self, code, payload: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _send_json(self, code, obj):
+            self._send(code, json.dumps(obj).encode())
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._send_json(200, {
+                    "ok": True, "model": model_name,
+                    "knn_method": getattr(service.predictor, "knn_method", "?"),
+                })
+            elif path == "/v1/stats":
+                st = service.snapshot()
+                if st["batches"]:
+                    st["mean_batch_size"] = st["batched_items"] / st["batches"]
+                    st["mean_batch_ms"] = st["batch_ms_total"] / st["batches"]
+                self._send_json(200, st)
+            else:
+                self._send_json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/v1/predict":
+                self._send_json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                structure = _parse_body_to_structure(
+                    body,
+                    self.headers.get("Content-Type", ""),
+                    (self.headers.get("Content-Encoding") or "").lower(),
+                )
+            except Exception as e:  # noqa: BLE001 — client error
+                self._send_json(400, {"error": f"unusable structure: {e}"})
+                return
+            probs, err = service.predict(structure)
+            if err is not None:
+                # over-bucket / encode failures are the request's fault
+                code = 413 if "predicted" in err else 503
+                self._send_json(code, {"error": err})
+                return
+            q = parse_qs(url.query)
+            if q.get("format", [""])[0] == "pdb":
+                k = int(q.get("class", ["0"])[0])
+                if not 0 <= k < probs.shape[1]:
+                    self._send_json(400, {"error": f"class {k} out of range"})
+                    return
+                self._send(200, _annotated_pdb(structure, probs[:, k]),
+                           ctype="chemical/x-pdb")
+            else:
+                self._send_json(200, {
+                    "classes": int(probs.shape[1]),
+                    "residues": int(probs.shape[0]),
+                    "probabilities": [[round(float(v), 6) for v in row]
+                                      for row in probs],
+                })
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ckpt", default=None, help="reference torch .pt checkpoint")
+    parser.add_argument("--orbax", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--model", default=None, help="config preset override")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8490)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    parser.add_argument("--fast-knn", action="store_true")
+    parser.add_argument("--max-batch", type=int, default=16)
+    parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the common buckets before listening")
+    args = parser.parse_args(argv)
+
+    from .infer import Predictor
+    from .models import get_config
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    knn_method = "fast" if args.fast_knn else "exact"
+
+    def _bf16(c):
+        return c.replace(dtype="bfloat16", precision="default") if args.bf16 else c
+
+    if args.ckpt:
+        from .port import load_reference_checkpoint
+
+        params, cfg = load_reference_checkpoint(args.ckpt)
+        cfg = _bf16(cfg)
+        pred = Predictor(cfg, params, knn_method=knn_method)
+        model_name = args.model or f"ported:{os.path.basename(args.ckpt)}"
+    elif args.orbax:
+        cfg = _bf16(get_config(args.model or "i_v4_1", remat=False))
+        from .train.checkpoint import restore_checkpoint
+        from .train.state import create_train_state
+
+        state, _ = create_train_state(cfg)
+        restored = restore_checkpoint(args.orbax, state)
+        if restored is None:
+            parser.error(f"no checkpoint found in {args.orbax}")
+        pred = Predictor(cfg, restored.params, knn_method=knn_method)
+        model_name = args.model or "i_v4_1"
+    else:
+        parser.error("need --ckpt or --orbax")
+
+    if args.warmup:
+        pred.warmup()
+
+    service = BatchingService(pred, max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms)
+    server = make_server(service, host=args.host, port=args.port,
+                         model_name=model_name)
+    print(f"pesto_tpu.serve listening on {args.host}:{args.port} "
+          f"(model {model_name}, knn {knn_method}, max_batch {args.max_batch}, "
+          f"max_wait {args.max_wait_ms} ms)", file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

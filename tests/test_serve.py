@@ -1,0 +1,129 @@
+"""Batching inference server (pesto_tpu/serve.py): full HTTP surface
+driven in-process — JSON + annotated-PDB responses vs the direct
+Predictor path, cross-request batching, gzip bodies, and error codes."""
+
+import gzip
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from pesto_tpu.infer import Predictor
+from pesto_tpu.models import get_config
+from pesto_tpu.models.pesto import init_params
+from pesto_tpu.serve import BatchingService, make_server
+
+PDB = "/root/reference/examples/dna_rna/1H9D.pdb"
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_config("i_v4_0", dtype="float32")
+    cfg = cfg.replace(layers=cfg.layers[:2])
+    pred = Predictor(cfg, init_params(cfg))
+    service = BatchingService(pred, max_batch=8, max_wait_ms=150.0)
+    srv = make_server(service, host="127.0.0.1", port=0, model_name="test")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, service, pred
+    srv.shutdown()
+    service.close()
+
+
+def _post(srv, body, path="/v1/predict", headers=None):
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_port, timeout=300)
+    conn.request("POST", path, body=body, headers=headers or {})
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, data
+
+
+def _get(srv, path):
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_port, timeout=60)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, data
+
+
+def test_healthz_and_unknown_paths(server):
+    srv, _, _ = server
+    status, data = _get(srv, "/healthz")
+    assert status == 200 and json.loads(data)["ok"] is True
+    assert _get(srv, "/nope")[0] == 404
+    assert _post(srv, b"x", path="/nope")[0] == 404
+
+
+def test_predict_json_matches_direct_predictor(server):
+    srv, _, pred = server
+    body = open(PDB, "rb").read()
+    status, data = _post(srv, body)
+    assert status == 200, data
+    out = json.loads(data)
+    # direct path on the same parsed structure
+    from pesto_tpu.io import read_structure
+    from pesto_tpu.structure import concatenate_chains, preprocess_structure
+
+    structure = concatenate_chains(preprocess_structure(read_structure(PDB)))
+    direct = pred.predict_batch([structure])[0]
+    assert out["residues"] == direct.shape[0]
+    assert out["classes"] == direct.shape[1]
+    got = np.array(out["probabilities"], dtype=np.float32)
+    assert np.abs(got - direct).max() < 1e-5  # JSON rounds to 6 decimals
+
+
+def test_predict_gzip_and_pdb_format(server):
+    srv, _, _ = server
+    body = gzip.compress(open(PDB, "rb").read())
+    status, data = _post(
+        srv, body, path="/v1/predict?format=pdb&class=1",
+        headers={"Content-Encoding": "gzip"},
+    )
+    assert status == 200
+    text = data.decode()
+    atom_lines = [l for l in text.splitlines() if l.startswith("ATOM")]
+    assert atom_lines, "annotated PDB has no ATOM records"
+    # B-factor column carries probabilities in [0, 1]
+    bf = np.array([float(l[60:66]) for l in atom_lines])
+    assert bf.min() >= 0.0 and bf.max() <= 1.0
+
+
+def test_malformed_and_empty_bodies_are_client_errors(server):
+    srv, _, _ = server
+    assert _post(srv, b"")[0] == 400
+    assert _post(srv, b"this is not a pdb\n")[0] == 400
+    status, data = _post(srv, open(PDB, "rb").read(),
+                         path="/v1/predict?format=pdb&class=99")
+    assert status == 400 and b"out of range" in data
+
+
+def test_concurrent_requests_share_one_batch(server):
+    srv, service, _ = server
+    before = service.snapshot()
+    body = open(PDB, "rb").read()
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = _post(srv, body)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    # identical input -> identical output across the batch
+    outs = [json.loads(r[1])["probabilities"] for r in results]
+    assert all(o == outs[0] for o in outs[1:])
+    after = service.snapshot()
+    new_batches = after["batches"] - before["batches"]
+    new_items = after["batched_items"] - before["batched_items"]
+    assert new_items == 4
+    # the 150 ms window must have merged at least two requests into one
+    # dispatch (the whole point of the batcher)
+    assert new_batches < 4
+    assert after["max_batch_seen"] >= 2
