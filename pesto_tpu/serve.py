@@ -48,13 +48,18 @@ from urllib.parse import parse_qs, urlparse
 
 
 class _Pending:
-    __slots__ = ("structure", "event", "probs", "error", "t_enqueue")
+    __slots__ = ("structure", "event", "probs", "error", "error_kind",
+                 "cancelled", "t_enqueue")
 
     def __init__(self, structure):
         self.structure = structure
         self.event = threading.Event()
         self.probs = None
         self.error = None
+        # "item" = this request's fault (over-bucket/encode failure);
+        # "server" = batch-level failure; None = success
+        self.error_kind = None
+        self.cancelled = False  # abandoned by a timed-out handler
         self.t_enqueue = time.monotonic()
 
 
@@ -70,9 +75,9 @@ class BatchingService:
         self._q = queue.Queue()
         self._stop = threading.Event()
         self.stats = {
-            "requests": 0, "errors": 0, "batches": 0, "batched_items": 0,
-            "max_batch_seen": 0, "atoms": 0, "residues": 0,
-            "batch_ms_total": 0.0,
+            "requests": 0, "errors": 0, "timeouts": 0, "batches": 0,
+            "batched_items": 0, "max_batch_seen": 0, "atoms": 0,
+            "residues": 0, "batch_ms_total": 0.0,
         }
         self._stats_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -85,13 +90,18 @@ class BatchingService:
         self._thread.join(timeout=10.0)
 
     def predict(self, structure, timeout_s: float = 300.0):
-        """Enqueue one cleaned structure; returns (probs, None) or
-        (None, error_message)."""
+        """Enqueue one cleaned structure; returns (probs, None, None) or
+        (None, error_message, error_kind)."""
         p = _Pending(structure)
         self._q.put(p)
         if not p.event.wait(timeout_s):
-            return None, "prediction timed out"
-        return p.probs, p.error
+            # mark abandoned so the batcher sheds it instead of burning a
+            # device dispatch on a request nobody is waiting for
+            p.cancelled = True
+            with self._stats_lock:
+                self.stats["timeouts"] += 1
+            return None, "prediction timed out", "server"
+        return p.probs, p.error, p.error_kind
 
     # -- batcher thread ---------------------------------------------------
     def _collect(self):
@@ -117,7 +127,7 @@ class BatchingService:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = self._collect()
+            batch = [p for p in self._collect() if not p.cancelled]
             if not batch:
                 continue
             t0 = time.monotonic()
@@ -128,9 +138,11 @@ class BatchingService:
             except Exception as e:  # noqa: BLE001 — batch-level failure
                 for p in batch:
                     p.error = f"{type(e).__name__}: {e}"
+                    p.error_kind = "server"
                     p.event.set()
                 with self._stats_lock:
                     self.stats["errors"] += len(batch)
+                    self.stats["requests"] += len(batch)
                 continue
             dt_ms = (time.monotonic() - t0) * 1e3
             n_res = 0
@@ -138,6 +150,7 @@ class BatchingService:
                 if pr is None:
                     # predict_batch's per-item degradation contract
                     p.error = "structure could not be predicted (see server log)"
+                    p.error_kind = "item"
                 else:
                     p.probs = pr
                     n_res += pr.shape[0]
@@ -160,14 +173,26 @@ class BatchingService:
             return dict(self.stats)
 
 
-def _parse_body_to_structure(body: bytes, content_type: str, encoding: str):
+def _bounded_gunzip(body: bytes, max_bytes: int) -> bytes:
+    """Decompress with an inflated-size cap (gzip-bomb guard)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+    out = d.decompress(body, max_bytes)
+    if d.unconsumed_tail or (not d.eof and d.decompress(b"", 1)):
+        raise ValueError(f"gzip body inflates past {max_bytes} bytes")
+    return out
+
+
+def _parse_body_to_structure(body: bytes, content_type: str, encoding: str,
+                             max_bytes: int):
     """Request bytes -> cleaned merged structure (the apply_model host
     path). Raises ValueError on unusable input."""
     from .io import read_structure
     from .structure import concatenate_chains, preprocess_structure
 
     if encoding == "gzip":
-        body = gzip.decompress(body)
+        body = _bounded_gunzip(body, max_bytes)
     if not body.strip():
         raise ValueError("empty request body")
     suffix = ".cif" if "cif" in (content_type or "") else ".pdb"
@@ -200,7 +225,8 @@ def _annotated_pdb(structure, p_class) -> bytes:
 
 
 def make_server(service: BatchingService, host: str = "127.0.0.1",
-                port: int = 8490, model_name: str = "?"):
+                port: int = 8490, model_name: str = "?",
+                max_body_bytes: int = 64 << 20):
     """Build (not start) the ThreadingHTTPServer. Tests call
     serve_forever on a thread; main() blocks on it."""
 
@@ -209,6 +235,20 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
 
         def log_message(self, fmt, *args):  # stderr, not stdout
             sys.stderr.write("serve: %s\n" % (fmt % args))
+
+        def _drain_body(self):
+            """Consume the request body so a keep-alive connection stays
+            in sync even on early error responses (otherwise the next
+            request line is parsed out of the unread body bytes)."""
+            try:
+                length = int(self.headers.get("Content-Length", "0") or "0")
+            except ValueError:
+                length = 0
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    break
+                length -= len(chunk)
 
         def _send(self, code, payload: bytes, ctype="application/json"):
             self.send_response(code)
@@ -239,39 +279,63 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
         def do_POST(self):
             url = urlparse(self.path)
             if url.path != "/v1/predict":
+                self._drain_body()
                 self._send_json(404, {"error": "unknown path"})
                 return
+            # validate query params BEFORE burning a device dispatch
+            q = parse_qs(url.query)
+            want_pdb = q.get("format", [""])[0] == "pdb"
+            k = 0
+            if want_pdb:
+                n_classes = int(service.predictor.cfg.dm_n2)
+                try:
+                    k = int(q.get("class", ["0"])[0])
+                except ValueError:
+                    k = -1
+                if not 0 <= k < n_classes:
+                    self._drain_body()
+                    self._send_json(400, {
+                        "error": f"class {q.get('class', ['0'])[0]!r} out of "
+                                 f"range [0, {n_classes})"})
+                    return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
+                length = int(self.headers.get("Content-Length", "0") or "0")
+            except ValueError:
+                length = -1
+            if not 0 <= length <= max_body_bytes:
+                self._drain_body()
+                self._send_json(413, {
+                    "error": f"body must be 0..{max_body_bytes} bytes"})
+                return
+            try:
                 body = self.rfile.read(length)
                 structure = _parse_body_to_structure(
                     body,
                     self.headers.get("Content-Type", ""),
                     (self.headers.get("Content-Encoding") or "").lower(),
+                    max_body_bytes,
                 )
             except Exception as e:  # noqa: BLE001 — client error
                 self._send_json(400, {"error": f"unusable structure: {e}"})
                 return
-            probs, err = service.predict(structure)
+            probs, err, err_kind = service.predict(structure)
             if err is not None:
-                # over-bucket / encode failures are the request's fault
-                code = 413 if "predicted" in err else 503
-                self._send_json(code, {"error": err})
+                # this item's fault (over-bucket/encode) -> 413;
+                # batch failure or timeout -> 503
+                self._send_json(413 if err_kind == "item" else 503,
+                                {"error": err})
                 return
-            q = parse_qs(url.query)
-            if q.get("format", [""])[0] == "pdb":
-                k = int(q.get("class", ["0"])[0])
-                if not 0 <= k < probs.shape[1]:
-                    self._send_json(400, {"error": f"class {k} out of range"})
-                    return
+            if want_pdb:
                 self._send(200, _annotated_pdb(structure, probs[:, k]),
                            ctype="chemical/x-pdb")
             else:
+                import numpy as np
+
                 self._send_json(200, {
                     "classes": int(probs.shape[1]),
                     "residues": int(probs.shape[0]),
-                    "probabilities": [[round(float(v), 6) for v in row]
-                                      for row in probs],
+                    "probabilities": np.round(
+                        np.asarray(probs, dtype=np.float64), 6).tolist(),
                 })
 
     return ThreadingHTTPServer((host, port), Handler)
@@ -287,9 +351,16 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8490)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
-    parser.add_argument("--fast-knn", action="store_true")
+    parser.add_argument("--knn", default="exact",
+                        choices=("exact", "exact2", "fast", "pallas"),
+                        help="kNN method (exact2 = exact results, "
+                             "threshold-compaction selection)")
+    parser.add_argument("--fast-knn", action="store_true",
+                        help="shorthand for --knn fast")
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    parser.add_argument("--max-body-mb", type=int, default=64,
+                        help="reject request bodies larger than this (413)")
     parser.add_argument("--warmup", action="store_true",
                         help="compile the common buckets before listening")
     args = parser.parse_args(argv)
@@ -299,18 +370,25 @@ def main(argv=None):
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
-    knn_method = "fast" if args.fast_knn else "exact"
+    knn_method = "fast" if args.fast_knn else args.knn
 
     def _bf16(c):
         return c.replace(dtype="bfloat16", precision="default") if args.bf16 else c
 
     if args.ckpt:
-        from .port import load_reference_checkpoint
+        if args.model is not None:
+            # explicit preset, like apply_model.py's --model branch
+            cfg = _bf16(get_config(args.model, remat=False))
+            pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+            pred.knn_method = knn_method
+            model_name = args.model
+        else:
+            from .port import load_reference_checkpoint
 
-        params, cfg = load_reference_checkpoint(args.ckpt)
-        cfg = _bf16(cfg)
-        pred = Predictor(cfg, params, knn_method=knn_method)
-        model_name = args.model or f"ported:{os.path.basename(args.ckpt)}"
+            params, cfg = load_reference_checkpoint(args.ckpt)
+            cfg = _bf16(cfg)
+            pred = Predictor(cfg, params, knn_method=knn_method)
+            model_name = f"ported:{os.path.basename(args.ckpt)}"
     elif args.orbax:
         cfg = _bf16(get_config(args.model or "i_v4_1", remat=False))
         from .train.checkpoint import restore_checkpoint
@@ -331,7 +409,8 @@ def main(argv=None):
     service = BatchingService(pred, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms)
     server = make_server(service, host=args.host, port=args.port,
-                         model_name=model_name)
+                         model_name=model_name,
+                         max_body_bytes=args.max_body_mb << 20)
     print(f"pesto_tpu.serve listening on {args.host}:{args.port} "
           f"(model {model_name}, knn {knn_method}, max_batch {args.max_batch}, "
           f"max_wait {args.max_wait_ms} ms)", file=sys.stderr)

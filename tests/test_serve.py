@@ -24,7 +24,8 @@ def server():
     cfg = cfg.replace(layers=cfg.layers[:2])
     pred = Predictor(cfg, init_params(cfg))
     service = BatchingService(pred, max_batch=8, max_wait_ms=150.0)
-    srv = make_server(service, host="127.0.0.1", port=0, model_name="test")
+    srv = make_server(service, host="127.0.0.1", port=0, model_name="test",
+                      max_body_bytes=2 << 20)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv, service, pred
@@ -96,9 +97,39 @@ def test_malformed_and_empty_bodies_are_client_errors(server):
     srv, _, _ = server
     assert _post(srv, b"")[0] == 400
     assert _post(srv, b"this is not a pdb\n")[0] == 400
-    status, data = _post(srv, open(PDB, "rb").read(),
-                         path="/v1/predict?format=pdb&class=99")
-    assert status == 400 and b"out of range" in data
+    # class validation happens BEFORE the device dispatch, for both
+    # out-of-range and non-integer values
+    for bad in ("99", "abc", "1.5"):
+        status, data = _post(srv, b"irrelevant",
+                             path=f"/v1/predict?format=pdb&class={bad}")
+        assert status == 400 and b"out of range" in data, bad
+
+
+def test_oversized_and_bomb_bodies_are_rejected(server):
+    srv, _, _ = server
+    # Content-Length over the 2 MB cap -> 413 before the body is parsed
+    assert _post(srv, b"x" * (3 << 20))[0] == 413
+    # small gzip that INFLATES past the cap -> bounded decompress -> 400
+    bomb = gzip.compress(b"0" * (8 << 20))
+    assert len(bomb) < (1 << 20)
+    status, data = _post(srv, bomb, headers={"Content-Encoding": "gzip"})
+    assert status == 400 and b"inflates" in data
+
+
+def test_post_unknown_path_keeps_connection_in_sync(server):
+    """A 404'd POST must drain its body so the next request on the same
+    keep-alive connection is parsed correctly."""
+    srv, _, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.server_port, timeout=60)
+    conn.request("POST", "/v1/predic", body=b"ATOM garbage body\n" * 100)
+    r = conn.getresponse()
+    r.read()
+    assert r.status == 404
+    conn.request("GET", "/healthz")
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    assert r.status == 200 and json.loads(data)["ok"] is True
 
 
 def test_concurrent_requests_share_one_batch(server):
