@@ -33,15 +33,18 @@ def setup():
     return mesh, cfg, params
 
 
-def test_sharded_predict_batch_matches_single(setup):
+@pytest.mark.parametrize("knn_method", ["exact", "exact2"])
+def test_sharded_predict_batch_matches_single(setup, knn_method):
+    """exact2's batch-hoisted overflow cond must also compose with the
+    shard_map'd fused serving program."""
     mesh, cfg, params = setup
     # 6 structures (not a multiple of 8): exercises the chunk padding
     records = [
         random_structure_record(n_atoms=150 + 40 * i, n_res=20 + 4 * i, seed=i)
         for i in range(6)
     ]
-    single = Predictor(cfg, params)
-    sharded = Predictor(cfg, params, mesh=mesh)
+    single = Predictor(cfg, params, knn_method=knn_method)
+    sharded = Predictor(cfg, params, knn_method=knn_method, mesh=mesh)
     out_a = single.predict_batch(records)
     out_b = sharded.predict_batch(records)
     assert len(out_a) == len(out_b) == len(records)
