@@ -46,7 +46,11 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     parser.add_argument("--fast-knn", action="store_true",
                         help="partial-reduce kNN (~1.8x; 99.2%% neighbor agreement, "
-                             "far-tail swaps only)")
+                             "far-tail swaps only); shorthand for --knn fast")
+    parser.add_argument("--knn", default="exact",
+                        choices=("exact", "exact2", "fast", "pallas"),
+                        help="kNN method (exact2 = exact results via "
+                             "threshold-compaction selection)")
     parser.add_argument("--classes", default=None, help="comma list of class indices to write")
     args = parser.parse_args(argv)
 
@@ -63,7 +67,7 @@ def main(argv=None):
 
     enable_compilation_cache()
 
-    knn_method = "fast" if args.fast_knn else "exact"
+    knn_method = "fast" if args.fast_knn else args.knn
 
     def _bf16(c):
         return c.replace(dtype="bfloat16", precision="default") if args.bf16 else c
