@@ -227,3 +227,39 @@ def test_knn_exact2_batch_hoisted_cond():
     t = knn_topology_batch(jnp.asarray(Xb), jnp.asarray(mb), k=64, method="exact2")
     for name, a, b in zip(("ids", "d", "r"), e, t):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("PESTO_SLOW_TESTS"),
+    reason="set PESTO_SLOW_TESTS=1 for the exact2 randomized stress sweep",
+)
+def test_knn_exact2_randomized_stress():
+    """100 random geometry draws across density regimes, bucket shapes,
+    duplicate fractions, and cluster counts: exact2 must be bit-identical
+    to exact on every one (overflow fallback included)."""
+    rng = np.random.RandomState(1234)
+    for trial in range(100):
+        n = int(rng.randint(30, 2400))
+        NA = 1 << max(7, int(np.ceil(np.log2(n + 1))))
+        kind = trial % 4
+        if kind == 0:  # uniform cloud, varying density
+            X = rng.randn(n, 3).astype(np.float32) * rng.uniform(0.5, 30)
+        elif kind == 1:  # clustered
+            nc = int(rng.randint(1, 6))
+            centers = rng.randn(nc, 3).astype(np.float32) * 50
+            X = (centers[rng.randint(0, nc, n)]
+                 + rng.randn(n, 3).astype(np.float32) * 3)
+        elif kind == 2:  # lattice slab (maximal ties)
+            side = int(np.ceil(n ** (1 / 3))) + 1
+            g = np.stack(np.meshgrid(*[np.arange(side, dtype=np.float32)] * 3),
+                         -1).reshape(-1, 3)
+            X = g[:n] * rng.uniform(0.8, 2.0)
+        else:  # cloud + duplicates
+            X = rng.randn(n, 3).astype(np.float32) * 10
+            ndup = min(n // 4, int(rng.randint(1, 50)))
+            X[:ndup] = X[n - ndup:][::-1]
+        Xp = np.zeros((NA, 3), np.float32)
+        Xp[1 : n + 1] = X
+        mask = np.zeros(NA, np.float32)
+        mask[1 : n + 1] = 1.0
+        _exact2_identical(Xp, mask, label=f"trial{trial}-kind{kind}-n{n}")
