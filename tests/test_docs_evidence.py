@@ -56,6 +56,14 @@ def test_validation_medians_match_csv(medians):
     assert abs(float(fast.group(2)) - medians["full_ours"]) < 5e-5
 
 
+def test_performance_doc_medians_match_csv(medians):
+    text = (REPO / "docs" / "PERFORMANCE.md").read_text()
+    stated = re.search(r"pdbs_test median AUC (0\.\d{4}) vs (0\.\d{4}) exact", text)
+    assert stated, "PERFORMANCE.md no longer states the fast-mode medians"
+    assert abs(float(stated.group(1)) - medians["fast_ours"]) < 5e-5
+    assert abs(float(stated.group(2)) - medians["full_ours"]) < 5e-5
+
+
 def test_bench_docstring_medians_match_csv(medians):
     """bench.py's quoted serving-accuracy numbers must track the committed
     benchmark CSVs (round-2 carried stale values)."""
