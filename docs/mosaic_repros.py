@@ -107,11 +107,14 @@ def case_i1carry():
 
     def make(as_bool):
         def kernel(x_ref, n_ref, o_ref):
-            x = x_ref[...]
-            init = x[0, :] > 0 if as_bool else (x[0, :] > 0).astype(jnp.int32)
+            # r4 toolchain: dynamic_slice on a loaded VALUE is now
+            # "Unimplemented primitive" — index the ref per-iteration
+            # instead (this is the production idiom anyway).
+            row0 = x_ref[0, :]
+            init = row0 > 0 if as_bool else (row0 > 0).astype(jnp.int32)
 
             def body(i, carry):
-                m = x[i, :] > 0.5
+                m = x_ref[i, :] > 0.5
                 return (carry & m) if as_bool else carry * m.astype(jnp.int32)
 
             out = jax.lax.fori_loop(0, n_ref[0], body, init)
@@ -121,7 +124,10 @@ def case_i1carry():
             kernel,
             out_shape=jax.ShapeDtypeStruct((1, S), jnp.float32),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                # r4 toolchain: ANY-space loads are now rejected outright
+                # ("Loads are only allowed on VMEM and SMEM references"),
+                # which masked the carry bug — probe with VMEM instead.
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
         )
