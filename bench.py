@@ -161,6 +161,22 @@ def main():
     knn_ms = (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS * 1e3
     log(f"knn (exact, 8k atoms): {knn_ms:.1f} ms")
 
+    # exact2 (threshold over-estimate + values-only compaction): the
+    # production serving default — exact results at near-"fast" cost
+    def knn2_body(X, _):
+        ids = knn_topology(X, amd, k=64, method="exact2")[0]
+        eps = (ids[1, 1].astype(jnp.float32) % 3.0 - 1.0) * 1e-7
+        return X + eps, ids[1, 0]
+
+    kf2 = jax.jit(lambda X: jax.lax.scan(knn2_body, X, None, length=BENCH_ITERS))
+    X1, o = kf2(Xd)
+    _ = int(np.asarray(o[-1]))
+    t0 = time.perf_counter()
+    X1, o = kf2(Xd)
+    _ = int(np.asarray(o[-1]))
+    knn2_ms = (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS * 1e3
+    log(f"knn (exact2, 8k atoms): {knn2_ms:.1f} ms")
+
     # exact Pallas path (threshold-compaction + in-kernel bisection):
     # timed alongside so the method comparison lands in every BENCH file
     knn_pallas_ms = None
@@ -245,11 +261,66 @@ def main():
             f"{best*1e3:.0f} ms = {rate:.0f} atoms/s")
         return rate
 
+    pred16.knn_method = "exact"
     e2e = bench_pb(pred16, "exact-kNN")
+    # exact2 serving: the PRODUCTION DEFAULT (bit-identical results to
+    # exact — fallback-guaranteed, tests/test_topology.py — at near-fast
+    # selection cost); its rate is the headline metric
+    pred16x2 = Predictor(cfg16, params)  # default knn_method == "exact2"
+    assert pred16x2.knn_method == "exact2"
+    e2e_exact2 = bench_pb(pred16x2, "exact2-kNN")
     # fast-kNN serving: first-class benchmarked mode — full pdbs_test
     # median AUC 0.8915 vs 0.8945 exact (docs/VALIDATION.md)
     pred16f = Predictor(cfg16, params, knn_method="fast")
     e2e_fast = bench_pb(pred16f, "fast-kNN ")
+
+    # exact2 == exact identity, recorded as a bench-run artifact (not just
+    # a unit test): the same 12 records through both predictors must give
+    # BIT-identical probabilities (f32), plus the fallback count observed
+    p_e = pred16.predict_batch(records)
+    p_x2 = pred16x2.predict_batch(records)
+    exact2_identical = all(
+        np.array_equal(a, b) for a, b in zip(p_e, p_x2)
+    )
+    log(f"exact2 vs exact bit-identity over 12x8k: {exact2_identical} "
+        f"(fallbacks: {pred16x2.knn_fallback_count})")
+
+    # --- parse-INCLUSIVE e2e over real PDB files -------------------------
+    # the 36.6 atoms/s CPU-torch baseline parsed files; this line divides
+    # like against like (reference profiling.py:68-105 stages load/
+    # process/run). Uses the reference pdbs_test mount when present.
+    e2e_pdb = e2e_pdb_atoms = None
+    try:
+        import glob as _glob
+        import os as _os
+
+        from pesto_tpu.io import read_structure
+        from pesto_tpu.structure import concatenate_chains, preprocess_structure
+
+        pdb_dir = "/root/reference/pdbs_test"
+        paths = sorted(_glob.glob(_os.path.join(pdb_dir, "*.pdb")))[:64]
+        if paths:
+            def run_pdb_folder():
+                recs = []
+                for p in paths:
+                    recs.append(concatenate_chains(
+                        preprocess_structure(read_structure(p))
+                    ))
+                probs = pred16x2.predict_batch(recs)
+                return recs, probs
+
+            recs_w, probs_w = run_pdb_folder()  # warm compiles
+            t0 = time.perf_counter()
+            recs_p, probs_p = run_pdb_folder()
+            dt_pdb = time.perf_counter() - t0
+            e2e_pdb_atoms = sum(r["xyz"].shape[0] for r in recs_p)
+            n_ok = sum(p is not None for p in probs_p)
+            e2e_pdb = e2e_pdb_atoms / dt_pdb
+            log(f"predict_batch from {len(paths)} real PDBs (parse incl.): "
+                f"{dt_pdb*1e3:.0f} ms, {e2e_pdb_atoms} atoms, {n_ok} ok = "
+                f"{e2e_pdb:.0f} atoms/s")
+    except Exception as e:
+        log(f"pdb-folder e2e skipped: {type(e).__name__}: {str(e)[:120]}")
 
     # --- training throughput (flagship, production fast config) ---------
     # bf16 compute + fp32 master weights, dots_nb remat, one-hot gather
@@ -434,13 +505,23 @@ def main():
         json.dumps(
             {
                 "metric": "i_v4_1_e2e_inference_atoms_per_sec_per_chip",
-                "value": round(e2e, 1),
+                "value": round(e2e_exact2, 1),
                 "unit": "atoms/s",
-                "vs_baseline": round(e2e / BASELINE_ATOMS_PER_SEC, 2),
+                "vs_baseline": round(e2e_exact2 / BASELINE_ATOMS_PER_SEC, 2),
                 "detail": {
                     "batch_size": B,
                     "atoms": n_atoms,
                     "layers": len(cfg16.layers),
+                    "headline_knn_method": "exact2 (serving default; "
+                                           "bit-identical to exact)",
+                    "e2e_exact2_atoms_per_sec": round(e2e_exact2, 1),
+                    "e2e_exact_knn_atoms_per_sec": round(e2e, 1),
+                    "exact2_bit_identical_to_exact": bool(exact2_identical),
+                    "exact2_fallbacks_in_run": int(pred16x2.knn_fallback_count),
+                    "e2e_from_pdb_atoms_per_sec": (
+                        round(e2e_pdb, 1) if e2e_pdb else None
+                    ),
+                    "e2e_from_pdb_total_atoms": e2e_pdb_atoms,
                     "e2e_fast_knn_atoms_per_sec": round(e2e_fast, 1),
                     "e2e_fast_knn_auc_note": "pdbs_test median AUC 0.8915 fast vs 0.8945 exact",
                     "e2e_serial_atoms_per_sec": round(e2e_serial, 1),
@@ -449,6 +530,7 @@ def main():
                     "forward_mfu": round(fwd_mfu, 4) if fwd_mfu else None,
                     "forward_hbm_fraction": round(fwd_hbm, 4) if fwd_hbm else None,
                     "knn_ms_8k_exact": round(knn_ms, 1),
+                    "knn_ms_8k_exact2": round(knn2_ms, 1),
                     "knn_ms_8k_exact_pallas": round(knn_pallas_ms, 1) if knn_pallas_ms else None,
                     "encode_knn_ms_batch": round(t_encode * 1e3, 1),
                     "train_structures_per_sec": round(train_sps, 2) if train_sps else None,

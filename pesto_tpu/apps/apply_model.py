@@ -47,7 +47,7 @@ def main(argv=None):
     parser.add_argument("--fast-knn", action="store_true",
                         help="partial-reduce kNN (~1.8x; 99.2%% neighbor agreement, "
                              "far-tail swaps only); shorthand for --knn fast")
-    parser.add_argument("--knn", default="exact",
+    parser.add_argument("--knn", default="exact2",
                         choices=("exact", "exact2", "fast", "pallas"),
                         help="kNN method (exact2 = exact results via "
                              "threshold-compaction selection)")

@@ -22,7 +22,7 @@ from .structure import concatenate_chains, preprocess_structure
 class Predictor:
     """Bucketed jitted inference on padded structures."""
 
-    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact",
+    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact2",
                  mesh=None):
         import threading
 
@@ -32,7 +32,15 @@ class Predictor:
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params
-        self.knn_method = knn_method  # "fast": approx kNN, far-tail swaps only
+        # production default "exact2": bit-identical results to "exact"
+        # (threshold over-estimate + compaction, exact-path fallback on
+        # overflow) at near-"fast" cost — docs/PERFORMANCE.md. "fast":
+        # approx kNN, far-tail swaps only.
+        self.knn_method = knn_method
+        # how many fused-serve dispatches hit the exact2/pallas overflow
+        # fallback (the batch silently re-ran the plain exact path);
+        # exposed via serve.py /v1/stats and a predict_batch log line
+        self.knn_fallback_count = 0
         self.mesh = mesh  # data-parallel serving over a device mesh
         if mesh is None:
             # commit the parameters to the device ONCE: numpy params (the
@@ -88,7 +96,7 @@ class Predictor:
                     fn,
                     mesh=mesh,
                     in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
-                    out_specs=P("data"),
+                    out_specs=(P("data"), P("data")),
                     check_vma=False,
                 )(params, X, q, M, am)
 
@@ -116,12 +124,20 @@ class Predictor:
         knn_topology_batch (not a bare vmap) keeps the pallas method's
         overflow fallback a real scalar-cond branch. knn_method is passed
         (never read from self inside the trace) so mutating
-        pred.knn_method takes effect on the next call."""
+        pred.knn_method takes effect on the next call.
+
+        Returns (probs [B, NR, C], overflow [B] bool) — the overflow flag
+        (broadcast per structure so it shards with the batch axis under
+        shard_map) records whether the exact2/pallas candidate
+        construction overflowed and the chunk re-ran the exact path."""
         from .topology import knn_topology_batch
 
-        ids = knn_topology_batch(X, am, k=64, method=knn_method)[0]
+        out = knn_topology_batch(X, am, k=64, method=knn_method,
+                                 with_overflow=True)
+        ids, ovf = out[0], out[-1]
         z = self.model.apply({"params": params}, X, ids, q, M, am, nr=nr)
-        return jax.nn.sigmoid(z.astype(jnp.float32))
+        probs = jax.nn.sigmoid(z.astype(jnp.float32))
+        return probs, jnp.broadcast_to(ovf, (X.shape[0],))
 
     def export_compiled(self, path: str, buckets=((512, 64),)) -> None:
         """Serialize the forward as portable StableHLO artifacts
@@ -491,7 +507,10 @@ class Predictor:
                         for j in range(len(chunk))
                     ]
                     sb = stack_batch(items)
-                    return jax.nn.sigmoid(self.logits(sb).astype(jnp.float32))
+                    return (
+                        jax.nn.sigmoid(self.logits(sb).astype(jnp.float32)),
+                        None,
+                    )
                 # fused path: ONE dispatch for kNN + forward + sigmoid.
                 # jit's implicit host->device transfer of the numpy batch
                 # copies before returning, so the encoder's double-buffered
@@ -505,8 +524,22 @@ class Predictor:
                     nr=nr_static, knn_method=self.knn_method,
                 )
 
-            def collect(chunk, probs_dev):
+            def collect(chunk, res_dev):
+                probs_dev, ovf_dev = res_dev
                 probs = np.asarray(probs_dev)
+                if ovf_dev is not None and bool(np.any(np.asarray(ovf_dev))):
+                    # exact2/pallas candidate overflow: the chunk silently
+                    # re-ran the exact path — still exact, but worth a
+                    # counter (serve.py /v1/stats) and a log line so a
+                    # geometry regime where overflow is NOT rare is visible
+                    import sys as _sys
+
+                    self.knn_fallback_count += 1
+                    print(
+                        f"knn-fallback: chunk of {len(chunk)} re-ran the "
+                        f"exact path ({self.knn_method} candidate overflow)",
+                        file=_sys.stderr,
+                    )
                 for j, i in enumerate(chunk):
                     n_res = recs[i][3] if compact else recs[i][2].shape[1]
                     out[i] = probs[j, :n_res]

@@ -170,7 +170,12 @@ class BatchingService:
 
     def snapshot(self):
         with self._stats_lock:
-            return dict(self.stats)
+            st = dict(self.stats)
+        # exact2/pallas overflow fallbacks (chunk re-ran the exact path):
+        # proves the "overflow is rare" claim in production, and surfaces
+        # a geometry regime where it isn't
+        st["knn_fallbacks"] = getattr(self.predictor, "knn_fallback_count", 0)
+        return st
 
 
 def _bounded_gunzip(body: bytes, max_bytes: int) -> bytes:
@@ -351,10 +356,12 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8490)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
-    parser.add_argument("--knn", default="exact",
+    parser.add_argument("--knn", default="exact2",
                         choices=("exact", "exact2", "fast", "pallas"),
-                        help="kNN method (exact2 = exact results, "
-                             "threshold-compaction selection)")
+                        help="kNN method (default exact2 = exact results, "
+                             "threshold-compaction selection at near-fast "
+                             "cost — the production pick, "
+                             "docs/PERFORMANCE.md)")
     parser.add_argument("--fast-knn", action="store_true",
                         help="shorthand for --knn fast")
     parser.add_argument("--max-batch", type=int, default=16)

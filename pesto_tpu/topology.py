@@ -63,9 +63,9 @@ def _knn_pallas_parts(Xp, atom_mask, k):
     return _finish_topology(Xp, ids, ok, Dmax), overflow
 
 
-@functools.partial(jax.jit, static_argnames=("k", "method"))
+@functools.partial(jax.jit, static_argnames=("k", "method", "with_overflow"))
 def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
-                       method: str = "exact"):
+                       method: str = "exact", with_overflow: bool = False):
     """Batched kNN topology [B, NA, ...] -> ([B, NA, k], ...).
 
     For method="pallas" and method="exact2" this exists for a semantic
@@ -76,7 +76,13 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
     overflowed) picks the exact path for the whole batch — overflow is
     rare (W=384 covers the measured Morton-discontinuity tails; exact2's
     candidate slack covers every row with >= k real neighbors), so the
-    common case runs the fast path alone."""
+    common case runs the fast path alone.
+
+    with_overflow=True appends the scalar bool fallback flag to the
+    returned tuple (always False for exact/fast) — serving telemetry
+    counts how often the exact2/pallas candidate construction overflowed
+    and the batch silently re-ran the plain exact path."""
+    ovf_flag = jnp.asarray(False)
     if method == "exact2":
         parts = jax.vmap(lambda X, am: _knn_core(X, am, k, None, "exact2"))(
             Xb, atom_mask_b
@@ -85,12 +91,14 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
         exact = lambda _: jax.vmap(  # noqa: E731
             lambda X, am: knn_topology(X, am, k=k, method="exact")
         )(Xb, atom_mask_b)
-        return jax.lax.cond(
-            jnp.any(ovf),
+        ovf_flag = jnp.any(ovf)
+        out = jax.lax.cond(
+            ovf_flag,
             exact,
             lambda _: jax.vmap(_finish_topology)(Xb, ids, ok, Dmax),
             operand=None,
         )
+        return out + (ovf_flag,) if with_overflow else out
     if method == "pallas":
         from .ops.knn_pallas import HALF, RB
 
@@ -102,16 +110,19 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
             exact = lambda _: jax.vmap(  # noqa: E731
                 lambda X, am: knn_topology(X, am, k=k, method="exact")
             )(Xb, atom_mask_b)
-            return jax.lax.cond(
-                jnp.any(overflow),
+            ovf_flag = jnp.any(overflow)
+            out = jax.lax.cond(
+                ovf_flag,
                 exact,
                 lambda _: (ids_p, d_p, r_p),
                 operand=None,
             )
+            return out + (ovf_flag,) if with_overflow else out
         method = "exact"
-    return jax.vmap(lambda X, am: knn_topology(X, am, k=k, method=method))(
+    out = jax.vmap(lambda X, am: knn_topology(X, am, k=k, method=method))(
         Xb, atom_mask_b
     )
+    return out + (ovf_flag,) if with_overflow else out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "row_block", "method"))

@@ -173,6 +173,40 @@ def test_predict_batch_deep_pipeline_buffer_rotation():
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
 
 
+def test_predict_batch_counts_exact2_fallbacks():
+    """The serving default is exact2 (bit-identical to exact, fallback on
+    candidate overflow). The fallback must be OBSERVABLE: a clone-cluster
+    geometry (1400 atoms at ONE point — every spread row sees 1400
+    f32-identical candidate distances, far past the k+32 tie slack) bumps
+    Predictor.knn_fallback_count; the plain exact method never does."""
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    params = init_params(cfg, na=256, nr=32)
+
+    rng = np.random.RandomState(0)
+    X = np.zeros((1500, 3), np.float32)
+    X[:100] = rng.rand(100, 3).astype(np.float32) * 30
+    X[100:] = np.float32([15.0, 15.0, 15.0])
+    rec = random_structure_record(n_atoms=1500, n_res=64, seed=0)
+    rec["xyz"] = X
+
+    pred = Predictor(cfg, params)  # default knn_method == "exact2"
+    assert pred.knn_method == "exact2"
+    assert pred.knn_fallback_count == 0
+    out = pred.predict_batch([rec])
+    assert out[0].shape[0] == 64
+    assert pred.knn_fallback_count == 1
+
+    pred_exact = Predictor(cfg, params, knn_method="exact")
+    _ = pred_exact.predict_batch([rec])
+    assert pred_exact.knn_fallback_count == 0
+
+
 def test_predict_batch_honors_knn_method_mutation(monkeypatch):
     """`pred.knn_method = "fast"` after a first predict_batch call must
     reach the dispatched program (the method used to be baked into the
@@ -189,15 +223,15 @@ def test_predict_batch_honors_knn_method_mutation(monkeypatch):
 
     base = get_config("i_v4_0", remat=False)
     cfg = base.replace(layers=base.layers[:1])
-    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32), knn_method="exact")
     recs = [random_structure_record(n_atoms=500, n_res=64, seed=i) for i in range(2)]
 
     seen = []
     real = topo_mod.knn_topology_batch
 
-    def recorder(Xb, amb, k=64, method="exact"):
+    def recorder(Xb, amb, k=64, method="exact", **kw):
         seen.append(method)  # runs at TRACE time only
-        return real(Xb, amb, k=k, method=method)
+        return real(Xb, amb, k=k, method=method, **kw)
 
     monkeypatch.setattr(topo_mod, "knn_topology_batch", recorder)
     a = pred.predict_batch(recs)

@@ -158,3 +158,6 @@ def test_concurrent_requests_share_one_batch(server):
     # dispatch (the whole point of the batcher)
     assert new_batches < 4
     assert after["max_batch_seen"] >= 2
+    # exact2 fallback telemetry is part of the stats surface (serving
+    # observability for the silent exact-path re-run)
+    assert "knn_fallbacks" in after and after["knn_fallbacks"] >= 0
