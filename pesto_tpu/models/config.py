@@ -55,6 +55,14 @@ class PestoConfig:
     # remat policy: "full" recomputes everything; "dots" saves MXU outputs
     # and recomputes only elementwise work in the backward pass
     remat_policy: str = "full"
+    # PER-GROUP remat override: scan groups whose nn >= this threshold
+    # drop to FULL remat while smaller groups keep remat_policy. The
+    # flagship's memory hog is the nn=64 group's saved edge activations
+    # (~9 GB at 4x8k under dots_nb — more than HBM with optimizer state);
+    # nn=8/16/32 together cost less than half of nn=64 and recomputing
+    # only the big group buys most of dots_nb's speed at a fraction of
+    # its memory. None = one policy for all groups.
+    remat_full_nn_min: "int | None" = None
     # scan identical-layer groups with lax.scan: ~G x smaller XLA program
     # (the 32-layer stack compiles as 4 bodies), same math
     scan_layers: bool = True

@@ -266,7 +266,15 @@ class StateUpdate(nn.Module):
         K2 = K2.at[2 * S :, 4 * Nk :].set(k2v.astype(dt))
         B2 = jnp.concatenate([b2q, b2p, b2v]).astype(dt)
 
-        # shared per-edge features [N, nn, 4S]
+        # shared per-edge features [N, nn, 4S]. This CONCAT form is the
+        # measured XLA optimum: round-4 tried (a) four split matmuls with
+        # the p·r block folded algebraically ((p·r)@W == Σ_x r_x·(p_x@W))
+        # and (c) a narrower 2-block concat with q_nn contracting straight
+        # from the gather — both lost ~33 ms on the 32-layer forward
+        # (309/308.7 vs 276.0 ms at 4x8k bf16): XLA fuses the concatenate
+        # into the dot operand, so E never round-trips HBM, while each
+        # extra skinny dot pays its own full output pass
+        # (docs/PERFORMANCE.md §3, experiment log).
         proj_p = jnp.sum(p[:, None, :, :] * r_nn[:, :, :, None], axis=2)
         proj_pn = jnp.sum(p_nn * r_nn[:, :, :, None], axis=2)
         E = jnp.concatenate([q_nn, safe_norm(p_nn, axis=2), proj_p, proj_pn], axis=2)
@@ -536,21 +544,28 @@ class PestoModel(nn.Module):
         p = jnp.zeros((X.shape[0], 3, cfg.em_n1), dtype=q.dtype)
 
         if cfg.scan_layers:
-            if cfg.remat:
-                policy = {
-                    # save every matmul output (no recompute in backward);
-                    # fits the 1k bucket at B=16 in bf16
-                    "dots": jax.checkpoint_policies.dots_saveable,
-                    # save only un-batched matmuls: keeps the edge-MLP
-                    # activations but recomputes the per-atom batched
-                    # einsums (attention + one-hot selection), whose
-                    # outputs are the memory hogs under the gather tables
-                    "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                }.get(cfg.remat_policy)
-                body = nn.remat(_ScanBody, prevent_cse=False, policy=policy)
-            else:
-                body = _ScanBody
             for g, (lc, n) in enumerate(layer_groups(cfg)):
+                if cfg.remat:
+                    policy = {
+                        # save every matmul output (no recompute in backward);
+                        # fits the 1k bucket at B=16 in bf16
+                        "dots": jax.checkpoint_policies.dots_saveable,
+                        # save only un-batched matmuls: keeps the edge-MLP
+                        # activations but recomputes the per-atom batched
+                        # einsums (attention + one-hot selection), whose
+                        # outputs are the memory hogs under the gather tables
+                        "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    }.get(cfg.remat_policy)
+                    # per-GROUP override: big-nn groups drop to full remat
+                    # (their saved edge activations are the memory hog —
+                    # ~9 GB for nn=64 at 4x8k), small groups keep the
+                    # cheaper policy (config.remat_full_nn_min)
+                    if (cfg.remat_full_nn_min is not None
+                            and lc.nn >= cfg.remat_full_nn_min):
+                        policy = None
+                    body = nn.remat(_ScanBody, prevent_cse=False, policy=policy)
+                else:
+                    body = _ScanBody
                 scan = nn.scan(
                     body,
                     variable_axes={"params": 0},
