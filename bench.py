@@ -469,16 +469,22 @@ def main():
         for hb in loader:
             _ = jeval(st, jax.device_put(hb))["loss"]
 
+        # SUSTAINED window: >=100 steps with production-cadence eval (one
+        # pass every 50 steps) and one checkpoint — overhead amortized the
+        # way a real run amortizes it, so the number can sit next to the
+        # reference's multi-day 4.6-5.1 structures/s (BASELINE.md)
         n_struct = len(sizes)
+        EPOCHS = 25  # 4 loader batches/epoch -> 100 steps
         t0 = time.perf_counter()
         steps = 0
-        for _epoch in range(2):
+        eval_out = None
+        for _epoch in range(EPOCHS):
             for hb in loader:
                 st, out = jstep(st, jax.device_put(hb))
                 steps += 1
-        eval_out = None
-        for hb in loader:  # eval pass
-            eval_out = jeval(st, jax.device_put(hb))["loss"]
+            if steps % 48 == 0:  # every 12th epoch: a full eval pass
+                for hb in loader:
+                    eval_out = jeval(st, jax.device_put(hb))["loss"]
         with tempfile.TemporaryDirectory() as ckdir:
             save_checkpoint(ckdir, st)
         _ = float(out["loss"])
@@ -488,16 +494,17 @@ def main():
             # still-executing eval programs from t_mix
             _ = float(np.asarray(eval_out).ravel()[0])
         t_mix = time.perf_counter() - t0
-        atoms_total = 2 * sum(a for a, _ in sizes)
+        atoms_total = EPOCHS * sum(a for a, _ in sizes)
         train_mixed = {
-            "structures_per_sec": round(2 * n_struct / t_mix, 2),
+            "structures_per_sec": round(EPOCHS * n_struct / t_mix, 2),
             "atoms_per_sec": round(atoms_total / t_mix, 1),
             "steps_per_sec": round(steps / t_mix, 3),
+            "steps": steps,
             "wall_sec": round(t_mix, 2),
-            "includes": "loader+2 epochs+eval pass+ckpt save",
+            "includes": f"loader+{EPOCHS} epochs+2 eval passes+ckpt save",
         }
-        log(f"train mixed: {t_mix:.2f}s for {steps} steps + eval + ckpt = "
-            f"{2*n_struct/t_mix:.1f} structures/s, {atoms_total/t_mix:.0f} atoms/s")
+        log(f"train mixed: {t_mix:.2f}s for {steps} steps + 2 evals + ckpt = "
+            f"{EPOCHS*n_struct/t_mix:.1f} structures/s, {atoms_total/t_mix:.0f} atoms/s")
     except Exception as e:
         log(f"train bench skipped: {type(e).__name__}: {str(e)[:160]}")
 
