@@ -133,10 +133,17 @@ def _kernel(qp_t_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref, nqp_ref,
     q = q_ref[:]                             # [A, S]
     p_flat = p_ref[:]                        # [A, 3S]
     d_e = d_ref[:].reshape(AE, 1)
+    # stream dtype = dt everywhere (r4): loads/stores/spills of every
+    # [AE, *] tensor stay in the input dtype — for bf16 inputs that
+    # halves every VMEM pass (16 vs 8 sublanes per vreg), which is the
+    # all-bf16 variant the bf16-broadcast Mosaic bug blocked until this
+    # toolchain (docs/MOSAIC_BUGS.md probe log 2026-08-19). In-register
+    # math stays f32 where numerics need it (norms, softmax normalizers,
+    # the final cross-neighbor reduction); f32 inputs are unchanged.
     r_e = [
-        rx_ref[:].reshape(AE, 1).astype(f32),
-        ry_ref[:].reshape(AE, 1).astype(f32),
-        rz_ref[:].reshape(AE, 1).astype(f32),
+        rx_ref[:].reshape(AE, 1),
+        ry_ref[:].reshape(AE, 1),
+        rz_ref[:].reshape(AE, 1),
     ]
 
     p_x = [p_flat[:, x * S : (x + 1) * S] for x in range(3)]
@@ -166,7 +173,12 @@ def _kernel(qp_t_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref, nqp_ref,
     ).astype(dt)
 
     # packed edge MLP: [AE, 4S] x [4S, 4S] twice, then the aligned K2;
-    # the distance column enters as a [AE,1]x[1,4S] outer product
+    # the distance column enters as a [AE,1]x[1,4S] outer product. The
+    # MXU always accumulates f32 — and Mosaic REJECTS bf16
+    # preferred_element_type on dot_general (MLIR verification error,
+    # probed 2026-08-19) — so dots emit f32 and are cast to the dt
+    # stream immediately; every [AE, 4S] intermediate still
+    # loads/stores at stream width. The elu runs f32 in-register.
     h = (
         jnp.dot(e_scr[:], k0e_ref[:], preferred_element_type=f32)
         + jnp.dot(d_e, k0c_ref[0:1], preferred_element_type=f32)
@@ -192,31 +204,40 @@ def _kernel(qp_t_ref, d_ref, rx_ref, ry_ref, rz_ref, q_ref, p_ref, nqp_ref,
             nqp_ref[:, hh * 128 : (hh + 1) * 128], nn, axis=0
         )                                                          # [AE, 128]
         L = jnp.dot(out * nq_rep, G, preferred_element_type=f32)   # [AE, 4]
+        L = L.astype(dt)
 
         # per-atom softmax over the nn edges: leading-axis max/sum,
         # normalizers tiled back; q softmaxes alone, the 3 c-planes
-        # jointly (the reference's [N, 3nn] concat)
+        # jointly (the reference's [N, 3nn] concat). exp and the
+        # normalizer run f32 in-register; weights stream at dt.
         m4 = jnp.max(L.reshape(nn, A, 4), axis=0)                  # [A, 4]
         mp = jnp.maximum(jnp.maximum(m4[:, 1:2], m4[:, 2:3]), m4[:, 3:4])
         msel = jnp.concatenate([m4[:, 0:1], mp, mp, mp], axis=1)
-        e4 = jnp.exp(L - pltpu.repeat(msel, nn, axis=0))           # [AE, 4] f32
-        s4 = jnp.sum(e4.reshape(nn, A, 4), axis=0)                 # [A, 4]
+        e4 = jnp.exp(
+            (L - pltpu.repeat(msel, nn, axis=0)).astype(f32)
+        ).astype(dt)                                               # [AE, 4]
+        s4 = jnp.sum(e4.reshape(nn, A, 4).astype(f32), axis=0)     # [A, 4]
         sp = s4[:, 1:2] + s4[:, 2:3] + s4[:, 3:4]
-        inv = 1.0 / jnp.concatenate([s4[:, 0:1], sp, sp, sp], axis=1)
-        w = e4 * pltpu.repeat(inv, nn, axis=0)                     # [AE, 4] f32
+        inv = (
+            1.0 / jnp.concatenate([s4[:, 0:1], sp, sp, sp], axis=1)
+        ).astype(dt)
+        w = e4 * pltpu.repeat(inv, nn, axis=0)                     # [AE, 4] dt
 
-        # seven weighted value planes + the plane-1 weight column, one
-        # leading-axis f32 reduction for the whole contraction
-        u = w[:, 1:2] * V1.astype(f32)
-        wv_scr[:, 0:S] = w[:, 0:1] * V0.astype(f32)
+        # seven weighted value planes + the plane-1 weight column at
+        # stream width, one leading-axis f32-accumulated reduction for
+        # the whole contraction
+        u = w[:, 1:2] * V1
+        wv_scr[:, 0:S] = w[:, 0:1] * V0
         wv_scr[:, S : 2 * S] = u * r_e[0]
         wv_scr[:, 2 * S : 3 * S] = u * r_e[1]
         wv_scr[:, 3 * S : 4 * S] = u * r_e[2]
-        wv_scr[:, 4 * S : 5 * S] = w[:, 3:4] * pn_e[0].astype(f32)
-        wv_scr[:, 5 * S : 6 * S] = w[:, 3:4] * pn_e[1].astype(f32)
-        wv_scr[:, 6 * S : 7 * S] = w[:, 3:4] * pn_e[2].astype(f32)
+        wv_scr[:, 4 * S : 5 * S] = w[:, 3:4] * pn_e[0]
+        wv_scr[:, 5 * S : 6 * S] = w[:, 3:4] * pn_e[1]
+        wv_scr[:, 6 * S : 7 * S] = w[:, 3:4] * pn_e[2]
         wv_scr[:, 7 * S : 7 * S + 1] = w[:, 2:3]
-        res = jnp.sum(wv_scr[:].reshape(nn, A, 8 * S), axis=0)     # [A, 8S]
+        res = jnp.sum(
+            wv_scr[:].reshape(nn, A, 8 * S).astype(f32), axis=0
+        )                                                          # [A, 8S] f32
 
         zq_ref[:, hh * S : (hh + 1) * S] = res[:, :S].astype(dt)
         s2 = res[:, 7 * S : 7 * S + 1]                             # [A, 1]
@@ -320,7 +341,7 @@ def fused_edge_attention(
         scratch_shapes=[
             pltpu.VMEM((AE, 4 * S), dt),         # E
             pltpu.VMEM((AE, 128), dt),           # K2 output
-            pltpu.VMEM((AE, 8 * S), jnp.float32),  # weighted value planes
+            pltpu.VMEM((AE, 8 * S), dt),         # weighted value planes
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
