@@ -63,9 +63,11 @@ def _knn_pallas_parts(Xp, atom_mask, k):
     return _finish_topology(Xp, ids, ok, Dmax), overflow
 
 
-@functools.partial(jax.jit, static_argnames=("k", "method", "with_overflow"))
+@functools.partial(jax.jit, static_argnames=("k", "method", "with_overflow",
+                                             "exact2_slack"))
 def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
-                       method: str = "exact", with_overflow: bool = False):
+                       method: str = "exact", with_overflow: bool = False,
+                       exact2_slack: int = 192):
     """Batched kNN topology [B, NA, ...] -> ([B, NA, k], ...).
 
     For method="pallas" and method="exact2" this exists for a semantic
@@ -84,7 +86,8 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
     and the batch silently re-ran the plain exact path."""
     ovf_flag = jnp.asarray(False)
     if method == "exact2":
-        parts = jax.vmap(lambda X, am: _knn_core(X, am, k, None, "exact2"))(
+        parts = jax.vmap(lambda X, am: _knn_core(X, am, k, None, "exact2",
+                                             exact2_slack))(
             Xb, atom_mask_b
         )
         ids, ok, Dmax, ovf = parts
@@ -125,13 +128,15 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
     return out + (ovf_flag,) if with_overflow else out
 
 
-@functools.partial(jax.jit, static_argnames=("k", "row_block", "method"))
+@functools.partial(jax.jit, static_argnames=("k", "row_block", "method",
+                                             "exact2_slack"))
 def knn_topology(
     Xp: jax.Array,
     atom_mask: jax.Array,
     k: int = 64,
     row_block: Optional[int] = None,
     method: str = "exact",
+    exact2_slack: int = 192,
 ):
     """Top-k nearest-neighbor topology on a padded structure.
 
@@ -191,7 +196,8 @@ def knn_topology(
                 operand=None,
             )
         method = "exact"
-    ids, ok, Dmax, ovf = _knn_core(Xp, atom_mask, k, row_block, method)
+    ids, ok, Dmax, ovf = _knn_core(Xp, atom_mask, k, row_block, method,
+                                   exact2_slack)
     if method == "exact2":
         return jax.lax.cond(
             ovf,
@@ -203,7 +209,7 @@ def knn_topology(
     return _finish_topology(Xp, ids, ok, Dmax)
 
 
-def _knn_core(Xp, atom_mask, k, row_block, method):
+def _knn_core(Xp, atom_mask, k, row_block, method, exact2_slack=192):
     """Blocked distance computation + top-k selection (no finalization).
 
     Returns (ids [NA,k] int32, ok [NA,k] bool, Dmax scalar, overflow
@@ -307,7 +313,7 @@ def _knn_core(Xp, atom_mask, k, row_block, method):
             )[0]
             kth = min(k, neg_part.shape[1])
             thr = -jax.lax.top_k(neg_part, kth)[0][:, -1]  # >= true kth Dsq
-            kk = k + 32
+            kk = min(k + exact2_slack, NA)
             in_ball = Dsq <= thr[:, None]
             cols = jax.lax.broadcasted_iota(jnp.int32, (rb, NA), 1)
             keys = jnp.where(in_ball, cols, jnp.int32(NA))

@@ -1,0 +1,150 @@
+"""Concurrent-load benchmark for the batching inference server
+(pesto_tpu/serve.py): the production serving metric (VERDICT r3 item 6).
+
+Drives an IN-PROCESS server (same code path as deployment: HTTP handler ->
+BatchingService -> Predictor.predict_batch on the chip) with N concurrent
+clients replaying real pdbs_test PDB files, and reports requests/s, p50 /
+p99 latency and the batch-merge rate from /v1/stats, for the exact2
+(production default) and fast kNN methods.
+
+    python scripts/exp_serving_load.py [--quick]
+
+Writes the sweep artifact to docs/artifacts/serving_load.json; the table
+in docs/PERFORMANCE.md §2 is generated from that file.
+"""
+
+import argparse
+import glob
+import http.client
+import json
+import os
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PDB_DIR = "/root/reference/pdbs_test"
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def pick_bodies(max_files=6):
+    """A fixed spread of real structures by size (bytes as a size proxy)."""
+    paths = sorted(glob.glob(os.path.join(PDB_DIR, "*.pdb")), key=os.path.getsize)
+    if not paths:
+        raise SystemExit(f"no PDBs under {PDB_DIR}")
+    idx = [int(i * (len(paths) - 1) / (max_files - 1)) for i in range(max_files)]
+    chosen = [paths[i] for i in idx]
+    bodies = [open(p, "rb").read() for p in chosen]
+    log("request bodies: " + ", ".join(
+        f"{os.path.basename(p)} ({len(b)//1024}K)" for p, b in zip(chosen, bodies)))
+    return bodies
+
+
+def run_load(port, bodies, n_clients, n_requests, stats_before):
+    lat = [None] * n_requests
+    errs = []
+
+    def one(i):
+        body = bodies[i % len(bodies)]
+        t0 = time.perf_counter()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/v1/predict", body=body)
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        lat[i] = time.perf_counter() - t0
+        if r.status != 200:
+            errs.append(f"HTTP {r.status}: {data[:120]}")
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(n_clients) as pool:
+        list(pool.map(one, range(n_requests)))
+    wall = time.perf_counter() - t0
+    if errs:
+        raise RuntimeError(errs[0])
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+    return {
+        "clients": n_clients,
+        "requests": n_requests,
+        "requests_per_sec": round(n_requests / wall, 2),
+        "p50_ms": round(p50 * 1e3, 1),
+        "p99_ms": round(p99 * 1e3, 1),
+        "wall_sec": round(wall, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="docs/artifacts/serving_load.json")
+    args = ap.parse_args()
+
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.serve import BatchingService, make_server
+    from pesto_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    bodies = pick_bodies()
+
+    cfg = get_config("i_v4_1", remat=False, dtype="bfloat16",
+                     precision="default", gather="take")
+    import jax
+
+    params = jax.jit(lambda: init_params(cfg, na=256, nr=32))()
+    jax.block_until_ready(params)
+
+    results = {"device": str(jax.devices()[0]), "config": "i_v4_1 bf16",
+               "max_batch": 16, "max_wait_ms": 20.0, "rows": []}
+    n_req_base = 32 if args.quick else 96
+    for method in ("exact2", "fast"):
+        pred = Predictor(cfg, params, knn_method=method)
+        service = BatchingService(pred, max_batch=16, max_wait_ms=20.0)
+        srv = make_server(service, host="127.0.0.1", port=0,
+                          model_name="bench", max_body_bytes=64 << 20)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        port = srv.server_port
+        try:
+            # warm every bucket the bodies hit, at the merge batch shapes
+            run_load(port, bodies, 8, 2 * len(bodies), service.snapshot())
+            for n_clients in (1, 4, 16):
+                before = service.snapshot()
+                row = run_load(port, bodies, n_clients,
+                               max(n_req_base // (4 if n_clients == 1 else 1),
+                                   n_clients * 2),
+                               before)
+                after = service.snapshot()
+                nb = after["batches"] - before["batches"]
+                ni = after["batched_items"] - before["batched_items"]
+                row.update({
+                    "knn_method": method,
+                    "mean_batch_size": round(ni / max(nb, 1), 2),
+                    "knn_fallbacks": after.get("knn_fallbacks", 0),
+                })
+                results["rows"].append(row)
+                log(f"{method:6s} x{n_clients:2d} clients: "
+                    f"{row['requests_per_sec']:6.2f} req/s  "
+                    f"p50 {row['p50_ms']:7.1f} ms  p99 {row['p99_ms']:7.1f} ms  "
+                    f"batch {row['mean_batch_size']:.2f}")
+        finally:
+            srv.shutdown()
+            service.close()
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    log(f"wrote {args.out}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
