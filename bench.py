@@ -261,13 +261,15 @@ def main():
             f"{best*1e3:.0f} ms = {rate:.0f} atoms/s")
         return rate
 
-    pred16.knn_method = "exact"
+    # exact serving: the PRODUCTION DEFAULT and the headline metric
+    # (round 4 reverted the default from exact2 — post-mortem in
+    # docs/PERFORMANCE.md §4: the toolchain's TopK index-tracking
+    # multiplier collapsed to 0.95x and the k+32 slack overflowed on
+    # every chunk, so exact2 cost ~2x exact in production)
+    assert pred16.knn_method == "exact"
     e2e = bench_pb(pred16, "exact-kNN")
-    # exact2 serving: the PRODUCTION DEFAULT (bit-identical results to
-    # exact — fallback-guaranteed, tests/test_topology.py — at near-fast
-    # selection cost); its rate is the headline metric
-    pred16x2 = Predictor(cfg16, params)  # default knn_method == "exact2"
-    assert pred16x2.knn_method == "exact2"
+    # exact2: measured alongside to keep the post-mortem pinned to data
+    pred16x2 = Predictor(cfg16, params, knn_method="exact2")
     e2e_exact2 = bench_pb(pred16x2, "exact2-kNN")
     # fast-kNN serving: first-class benchmarked mode — full pdbs_test
     # median AUC 0.8915 vs 0.8945 exact (docs/VALIDATION.md)
@@ -512,17 +514,18 @@ def main():
         json.dumps(
             {
                 "metric": "i_v4_1_e2e_inference_atoms_per_sec_per_chip",
-                "value": round(e2e_exact2, 1),
+                "value": round(e2e, 1),
                 "unit": "atoms/s",
-                "vs_baseline": round(e2e_exact2 / BASELINE_ATOMS_PER_SEC, 2),
+                "vs_baseline": round(e2e / BASELINE_ATOMS_PER_SEC, 2),
                 "detail": {
                     "batch_size": B,
                     "atoms": n_atoms,
                     "layers": len(cfg16.layers),
-                    "headline_knn_method": "exact2 (serving default; "
-                                           "bit-identical to exact)",
-                    "e2e_exact2_atoms_per_sec": round(e2e_exact2, 1),
+                    "headline_knn_method": "exact (serving default; "
+                                           "round-4 exact2 post-mortem in "
+                                           "PERFORMANCE.md §4)",
                     "e2e_exact_knn_atoms_per_sec": round(e2e, 1),
+                    "e2e_exact2_atoms_per_sec": round(e2e_exact2, 1),
                     "exact2_bit_identical_to_exact": bool(exact2_identical),
                     "exact2_fallbacks_in_run": int(pred16x2.knn_fallback_count),
                     "e2e_from_pdb_atoms_per_sec": (

@@ -22,7 +22,7 @@ from .structure import concatenate_chains, preprocess_structure
 class Predictor:
     """Bucketed jitted inference on padded structures."""
 
-    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact2",
+    def __init__(self, cfg: PestoConfig, params, knn_method: str = "exact",
                  mesh=None):
         import threading
 
@@ -32,10 +32,13 @@ class Predictor:
         self.cfg = cfg
         self.model = PestoModel(cfg)
         self.params = params
-        # production default "exact2": bit-identical results to "exact"
-        # (threshold over-estimate + compaction, exact-path fallback on
-        # overflow) at near-"fast" cost — docs/PERFORMANCE.md. "fast":
-        # approx kNN, far-tail swaps only.
+        # production default "exact" (round-4 measurement): exact2's
+        # premise — values-only TopK passes beating one indexed pass —
+        # died with this toolchain's index-tracking multiplier (0.95x,
+        # was 3x), and its overflow fallback fired on EVERY serving
+        # chunk at the shipped k+32 slack (docs/PERFORMANCE.md §4 has
+        # the post-mortem; scripts/exp_exact2_slack.py the numbers).
+        # "fast": approx kNN, far-tail swaps only, ~1.7x cheaper.
         self.knn_method = knn_method
         # how many fused-serve dispatches hit the exact2/pallas overflow
         # fallback (the batch silently re-ran the plain exact path);

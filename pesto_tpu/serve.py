@@ -356,12 +356,12 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8490)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 compute")
-    parser.add_argument("--knn", default="exact2",
+    parser.add_argument("--knn", default="exact",
                         choices=("exact", "exact2", "fast", "pallas"),
-                        help="kNN method (default exact2 = exact results, "
-                             "threshold-compaction selection at near-fast "
-                             "cost — the production pick, "
-                             "docs/PERFORMANCE.md)")
+                        help="kNN method (default exact; 'fast' trades a "
+                             "0.003 median-AUC delta for ~1.7x cheaper "
+                             "selection — docs/PERFORMANCE.md §4 records "
+                             "why exact2 lost its default slot)")
     parser.add_argument("--fast-knn", action="store_true",
                         help="shorthand for --knn fast")
     parser.add_argument("--max-batch", type=int, default=16)

@@ -174,11 +174,12 @@ def test_predict_batch_deep_pipeline_buffer_rotation():
 
 
 def test_predict_batch_counts_exact2_fallbacks():
-    """The serving default is exact2 (bit-identical to exact, fallback on
-    candidate overflow). The fallback must be OBSERVABLE: a clone-cluster
-    geometry (1400 atoms at ONE point — every spread row sees 1400
-    f32-identical candidate distances, far past the k+32 tie slack) bumps
-    Predictor.knn_fallback_count; the plain exact method never does."""
+    """exact2's overflow fallback (bit-identity guarantee) must be
+    OBSERVABLE: a clone-cluster geometry (1400 atoms at ONE point —
+    every spread row sees 1400 f32-identical candidate distances, far
+    past the candidate tie slack) bumps Predictor.knn_fallback_count;
+    the plain exact method (the serving default since round 4) never
+    does."""
     from pesto_tpu.infer import Predictor
     from pesto_tpu.models import get_config
     from pesto_tpu.models.pesto import init_params
@@ -195,8 +196,8 @@ def test_predict_batch_counts_exact2_fallbacks():
     rec = random_structure_record(n_atoms=1500, n_res=64, seed=0)
     rec["xyz"] = X
 
-    pred = Predictor(cfg, params)  # default knn_method == "exact2"
-    assert pred.knn_method == "exact2"
+    pred = Predictor(cfg, params, knn_method="exact2")
+    assert Predictor(cfg, params).knn_method == "exact"  # r4 default
     assert pred.knn_fallback_count == 0
     out = pred.predict_batch([rec])
     assert out[0].shape[0] == 64
