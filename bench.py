@@ -374,12 +374,15 @@ def main():
         train_sps = 16 / tdt
         log(f"train 16x1k: {tdt:.3f}s/step = {train_sps:.1f} structures/s")
 
-        # full-remat config for large buckets: the dots_nb policy saves
-        # the edge-MLP activations, which at 4x8192 flat atoms is ~9 GB
-        # (measured 24.95G needed vs 15.75G HBM); full remat keeps only
-        # the per-layer states
+        # 8k-bucket recipe (round-4 probe, scripts/exp_train8k.py):
+        # B=2 x 8k WITH dots_nb beats B=4 full remat by 45% per atom
+        # (0.565 vs 1.641 s/step). dots_nb at B=4 needs 24.95 GB of
+        # saved edge activations vs 15.75 GB HBM; at B=2 it fits.
+        # Per-group remat (full only for nn=64) bought just 4.5% —
+        # recomputing the big group costs most of what it saves.
         tcfg8 = get_config(
             "i_v4_1", dtype="bfloat16", precision="default", remat=True,
+            remat_policy="dots_nb",
         )
         tstate8, tx8 = create_train_state(tcfg8, learning_rate=1e-5)
         raw_step8 = build_train_step_fn(tcfg8, tx8)
@@ -388,16 +391,17 @@ def main():
             tb8 = stack_batch([
                 random_padded_structure(n_atoms=8191, n_res=1024, na=8192,
                                         nr=1024, seed=i, with_labels=True)
-                for i in range(4)
+                for i in range(2)
             ])
-            tdt8, tf8, _ = time_train(tb8, 4, step_fn=raw_step8, state=tstate8)
+            tdt8, tf8, _ = time_train(tb8, 2, step_fn=raw_step8, state=tstate8)
             train_8k = {
-                "structures_per_sec": round(4 / tdt8, 2),
-                "atoms_per_sec": round(4 * 8191 / tdt8, 1),
+                "structures_per_sec": round(2 / tdt8, 2),
+                "atoms_per_sec": round(2 * 8191 / tdt8, 1),
                 "sec_per_step": round(tdt8, 4),
+                "recipe": "B=2 dots_nb (exp_train8k: 45% over B=4 full remat)",
             }
-            log(f"train 4x8k: {tdt8:.3f}s/step = {4/tdt8:.1f} structures/s"
-                f" = {4*8191/tdt8:.0f} atoms/s")
+            log(f"train 2x8k: {tdt8:.3f}s/step = {2/tdt8:.1f} structures/s"
+                f" = {2*8191/tdt8:.0f} atoms/s")
 
             # MFU / HBM utilization from the compiled cost analysis (v5e
             # peaks: ~197 TFLOP/s bf16, ~819 GB/s HBM) — makes the
@@ -417,7 +421,7 @@ def main():
                 by = float(ca.get("bytes accessed", 0.0))
                 train_mfu = fl / tdt8 / 197e12
                 train_hbm = by / tdt8 / 819e9
-                log(f"train 4x8k: {fl/1e9:.1f} GFLOP/step, {by/1e9:.2f} GB/step "
+                log(f"train 2x8k: {fl/1e9:.1f} GFLOP/step, {by/1e9:.2f} GB/step "
                     f"-> MFU {train_mfu*100:.1f}%, HBM {train_hbm*100:.1f}%")
             except Exception as e:
                 log(f"train cost analysis unavailable: {e}")
@@ -454,13 +458,14 @@ def main():
                  + [(8191, 1024)] * 4)
         ds = SynthDataset(sizes)
         # row-gather path (no tables): the table einsums at the 8192
-        # bucket crash the remote compile (see train_8k note above)
+        # bucket crash the remote compile (see train_8k note above).
+        # atoms_per_batch=16384 (the TrainConfig default) caps the 8k
+        # bucket at B=2 so dots_nb fits EVERY bucket — the round-4
+        # recipe (exp_train8k: 45% over full remat at the 8k bucket)
         loader = BucketedLoader(
-            ds, np.array([(a, r) for a, r in sizes]), atoms_per_batch=32768,
+            ds, np.array([(a, r) for a, r in sizes]), atoms_per_batch=16384,
             max_batch=32, shuffle=True, seed=3, gather_tables=False,
         )
-        # mixed run uses the full-remat step (the 8192 bucket cannot
-        # hold dots_nb's saved activations, see above)
         jstep = jax.jit(raw_step8, donate_argnums=(0,))
         jeval = jax.jit(build_eval_step_fn(tcfg8))
         # warm all bucket shapes (compiles; cached across processes)
@@ -476,7 +481,7 @@ def main():
         # way a real run amortizes it, so the number can sit next to the
         # reference's multi-day 4.6-5.1 structures/s (BASELINE.md)
         n_struct = len(sizes)
-        EPOCHS = 25  # 4 loader batches/epoch -> 100 steps
+        EPOCHS = 17  # 6 loader batches/epoch at 16384 atoms -> 102 steps
         t0 = time.perf_counter()
         steps = 0
         eval_out = None
