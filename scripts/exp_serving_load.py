@@ -4,7 +4,7 @@
 Drives an IN-PROCESS server (same code path as deployment: HTTP handler ->
 BatchingService -> Predictor.predict_batch on the chip) with N concurrent
 clients replaying real pdbs_test PDB files, and reports requests/s, p50 /
-p99 latency and the batch-merge rate from /v1/stats, for the exact2
+p99 latency and the batch-merge rate from /v1/stats, for the exact
 (production default) and fast kNN methods.
 
     python scripts/exp_serving_load.py [--quick]
@@ -105,8 +105,31 @@ def main():
     results = {"device": str(jax.devices()[0]), "config": "i_v4_1 bf16",
                "max_batch": 16, "max_wait_ms": 20.0, "rows": []}
     n_req_base = 32 if args.quick else 96
-    for method in ("exact2", "fast"):
+
+    # the buckets + power-of-two chunk sizes the bodies will hit: warm
+    # them IN-PROCESS first (no HTTP timeout to blow while the fused
+    # program compiles; the compilation cache persists across methods)
+    from pesto_tpu.batching import ATOM_BUCKETS, RES_BUCKETS, pick_bucket
+    from pesto_tpu.serve import _parse_body_to_structure
+
+    warm_nas = sorted({
+        pick_bucket(
+            _parse_body_to_structure(b, "", "", 64 << 20)["xyz"].shape[0] + 1,
+            ATOM_BUCKETS)
+        for b in bodies
+    })
+    log(f"warm atom buckets: {warm_nas}")
+
+    for method in ("exact", "fast"):
         pred = Predictor(cfg, params, knn_method=method)
+        t0 = time.perf_counter()
+        for na in warm_nas:
+            nr = pick_bucket(max(na // 8, RES_BUCKETS[0]), RES_BUCKETS)
+            # the chunk padder dispatches powers of two up to the
+            # 32768-atom per-call budget (infer.py submit loop)
+            bs = tuple(b for b in (1, 2, 4, 8, 16) if b * na <= 32768)
+            pred.warmup(buckets=[(na, nr)], batch_sizes=bs)
+        log(f"{method}: warmup {time.perf_counter()-t0:.1f}s")
         service = BatchingService(pred, max_batch=16, max_wait_ms=20.0)
         srv = make_server(service, host="127.0.0.1", port=0,
                           model_name="bench", max_body_bytes=64 << 20)

@@ -38,9 +38,9 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def bench(label, B=4, **cfg_kw):
+def bench(label, B=4, remat=True, **cfg_kw):
     cfg = get_config("i_v4_1", dtype="bfloat16", precision="default",
-                     remat=True, **cfg_kw)
+                     remat=remat, **cfg_kw)
     state, tx = create_train_state(cfg, learning_rate=1e-5)
     raw_step = build_train_step_fn(cfg, tx)
     batch = stack_batch([
@@ -79,6 +79,11 @@ CASES = {
     "group32": lambda: bench("dots_nb + full@nn>=32",
                              remat_policy="dots_nb", remat_full_nn_min=32),
     "dots_nb_b2": lambda: bench("dots_nb B=2", B=2, remat_policy="dots_nb"),
+    # "dots" saves EVERY matmul output (more than dots_nb); it fits the
+    # 16x1k bucket (same 16384 flat atoms), so it should fit B=2x8k too
+    "dots_b2": lambda: bench("dots B=2", B=2, remat_policy="dots"),
+    # no remat at all at B=1: the floor for what remat costs
+    "none_b1": lambda: bench("no remat B=1", B=1, remat=False),
 }
 
 if __name__ == "__main__":

@@ -74,3 +74,29 @@ def test_bench_docstring_medians_match_csv(medians):
     assert stated, "bench.py no longer states the pdbs_test medians"
     assert abs(float(stated.group(1)) - medians["full_ours"]) < 5e-5
     assert abs(float(stated.group(2)) - medians["fast_ours"]) < 5e-5
+
+
+def test_serving_load_table_matches_artifact():
+    """PERFORMANCE.md's concurrent-load table must track the committed
+    sweep artifact (docs/artifacts/serving_load.json) — the same
+    anti-drift contract as the AUC medians (VERDICT round-3 item 6)."""
+    import json
+
+    art = REPO / "docs" / "artifacts" / "serving_load.json"
+    if not art.exists():
+        pytest.skip("serving_load.json not committed")
+    rows = {(r["knn_method"], r["clients"]): r
+            for r in json.load(open(art))["rows"]}
+    text = (REPO / "docs" / "PERFORMANCE.md").read_text()
+    table = re.findall(
+        r"\|\s*(exact|fast)\s*\|\s*(\d+)\s*\|\s*\**([\d.]+)\**\s*\|"
+        r"\s*(\d+)\s*ms\s*\|\s*(\d+)\s*ms\s*\|\s*([\d.]+)\s*\|",
+        text,
+    )
+    assert len(table) >= 5, "PERFORMANCE.md lost the concurrent-load table"
+    for method, clients, rps, p50, p99, mb in table:
+        r = rows[(method, int(clients))]
+        assert abs(float(rps) - r["requests_per_sec"]) < 0.05 + r["requests_per_sec"] * 0.005
+        assert abs(float(p50) - r["p50_ms"]) < 1.0
+        assert abs(float(p99) - r["p99_ms"]) < 1.0
+        assert abs(float(mb) - r["mean_batch_size"]) < 0.05
