@@ -308,7 +308,7 @@ def main():
                     recs.append(concatenate_chains(
                         preprocess_structure(read_structure(p))
                     ))
-                probs = pred16x2.predict_batch(recs)
+                probs = pred16.predict_batch(recs)
                 return recs, probs
 
             recs_w, probs_w = run_pdb_folder()  # warm compiles

@@ -54,6 +54,9 @@ class PestoConfig:
     remat: bool = True               # per-layer activation rematerialization
     # remat policy: "full" recomputes everything; "dots" saves MXU outputs
     # and recomputes only elementwise work in the backward pass
+    # "edges" saves only the named edge tensors (gathered neighbors,
+    # packed edge-MLP output, attention weights) — ~45% of dots_nb's
+    # bytes, and backward never re-runs the gather
     remat_policy: str = "full"
     # PER-GROUP remat override: scan groups whose nn >= this threshold
     # drop to FULL remat while smaller groups keep remat_policy. The

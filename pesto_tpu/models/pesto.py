@@ -23,6 +23,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .config import LayerConfig, PestoConfig
 
@@ -157,11 +158,18 @@ class StateUpdate(nn.Module):
         # five MLPs (names match the reference for checkpoint porting)
         Q = MLP3((S, S, 2 * Nk * Nh), self.dtype, prec, name="nqm")(X_n)
         Q = Q.reshape(N, 2, Nh, Nk)
-        Kq = MLP3((S, S, Nk), self.dtype, prec, name="eqkm")(X_e)  # [N,nn,Nk]
+        Kq = checkpoint_name(
+            MLP3((S, S, Nk), self.dtype, prec, name="eqkm")(X_e), "edge_mlp_out"
+        )  # [N,nn,Nk]
         Kp = MLP3((S, S, 3 * Nk), self.dtype, prec, name="epkm")(X_e)
         # vector keys: 3 chunks of Nk stacked along the neighbor axis
-        Kp = jnp.concatenate(jnp.split(Kp, 3, axis=2), axis=1)  # [N,3nn,Nk]
-        V = MLP3((2 * S, 2 * S, 2 * S), self.dtype, prec, name="evm")(X_e)
+        Kp = checkpoint_name(
+            jnp.concatenate(jnp.split(Kp, 3, axis=2), axis=1), "edge_mlp_out"
+        )  # [N,3nn,Nk]
+        V = checkpoint_name(
+            MLP3((2 * S, 2 * S, 2 * S), self.dtype, prec, name="evm")(X_e),
+            "edge_mlp_out",
+        )
         V = V.reshape(N, n_nn, 2, S)
         V0, V1 = V[:, :, 0, :], V[:, :, 1, :]
 
@@ -176,12 +184,12 @@ class StateUpdate(nn.Module):
         ).transpose(0, 2, 1, 3)
 
         # two softmax attentions over neighbors
-        Mq = jax.nn.softmax(
+        Mq = checkpoint_name(jax.nn.softmax(
             jnp.einsum("nhk,nmk->nhm", Q[:, 0], Kq, precision=prec) / sdk, axis=2
-        )
-        Mp = jax.nn.softmax(
+        ), "edge_attn")
+        Mp = checkpoint_name(jax.nn.softmax(
             jnp.einsum("nhk,nmk->nhm", Q[:, 1], Kp, precision=prec) / sdk, axis=2
-        )
+        ), "edge_attn")
 
         Zq = jnp.einsum("nhm,nms->nhs", Mq, V0, precision=prec).reshape(N, Nh * S)
         Zp = jnp.einsum("nhm,nxms->nxhs", Mp, Vp, precision=prec).reshape(N, 3, Nh * S)
@@ -289,6 +297,7 @@ class StateUpdate(nn.Module):
         h = nn.elu(h)
         h = nn.elu(jnp.einsum("njh,hg->njg", h, K1, precision=prec) + B1)
         out = jnp.einsum("njh,hg->njg", h, K2, precision=prec) + B2   # [N,nn,76]
+        out = checkpoint_name(out, "edge_mlp_out")
         Kq = out[..., :Nk]
         Kp3 = out[..., Nk : 4 * Nk]
         V0 = out[..., 4 * Nk : 4 * Nk + S]
@@ -299,7 +308,7 @@ class StateUpdate(nn.Module):
 
         # attention logits: contraction over Nk=3 -> fused VPU mul+reduce
         lq = jnp.sum(Q[:, 0][:, :, None, :] * Kq[:, None, :, :], axis=-1)  # [N,Nh,nn]
-        Mq = jax.nn.softmax(lq / sdk, axis=2)
+        Mq = checkpoint_name(jax.nn.softmax(lq / sdk, axis=2), "edge_attn")
         lp = jnp.concatenate(
             [
                 jnp.sum(Q[:, 1][:, :, None, :] * Kp3[:, None, :, c * Nk : (c + 1) * Nk], axis=-1)
@@ -307,7 +316,7 @@ class StateUpdate(nn.Module):
             ],
             axis=2,
         )  # [N,Nh,3nn]
-        Mp = jax.nn.softmax(lp / sdk, axis=2)
+        Mp = checkpoint_name(jax.nn.softmax(lp / sdk, axis=2), "edge_attn")
         Mp1, Mp2, Mp3 = Mp[:, :, :n_nn], Mp[:, :, n_nn : 2 * n_nn], Mp[:, :, 2 * n_nn :]
 
         # attention-weighted sums: contraction over nn with Nh=2 heads ->
@@ -379,12 +388,14 @@ class StateUpdateLayer(nn.Module):
             qp_nn = jnp.einsum(
                 "tmu,tuf->tmf", oh, cand_qp, precision=self.precision
             ).reshape(N, nn_k, 4 * S)
+            qp_nn = checkpoint_name(qp_nn, "edge_gather")
         else:
             # mode="clip": ids are in-bounds by construction; the default
             # fill mode makes XLA emit a NaN-select over every gathered
             # element (~23 ms of broadcast_select fusions per forward in
             # the round-3 profile)
             qp_nn = jnp.take(qp, ids_topk[:, :nn_k], axis=0, mode="clip")  # [N,nn,4S]
+            qp_nn = checkpoint_name(qp_nn, "edge_gather")
         q_nn = qp_nn[..., :S]
         p_nn = qp_nn[..., S:].reshape(N, nn_k, 3, S)
         q, p = StateUpdate(self.cfg, self.dtype, self.precision, self.fused, self.pallas, name="su")(
@@ -555,6 +566,17 @@ class PestoModel(nn.Module):
                         # einsums (attention + one-hot selection), whose
                         # outputs are the memory hogs under the gather tables
                         "dots_nb": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                        # named-checkpoint policy: save the gathered
+                        # neighbor tensor, the packed edge-MLP output and
+                        # the attention weights; recompute everything else
+                        # (the h1/h2 edge-MLP hiddens — 256 of the 460
+                        # saved bytes/edge under dots_nb — plus the cheap
+                        # per-atom MLPs). Backward then never re-runs the
+                        # gather (the dominant per-layer op) and the saved
+                        # set is ~45% of dots_nb's, so bigger batches fit
+                        "edges": jax.checkpoint_policies.save_only_these_names(
+                            "edge_gather", "edge_mlp_out", "edge_attn"
+                        ),
                     }.get(cfg.remat_policy)
                     # per-GROUP override: big-nn groups drop to full remat
                     # (their saved edge activations are the memory hog —

@@ -84,6 +84,11 @@ CASES = {
     "dots_b2": lambda: bench("dots B=2", B=2, remat_policy="dots"),
     # no remat at all at B=1: the floor for what remat costs
     "none_b1": lambda: bench("no remat B=1", B=1, remat=False),
+    # named-checkpoint policy: save gathered neighbors + edge-MLP output +
+    # attention weights (~45% of dots_nb's bytes); backward recomputes the
+    # edge-MLP hiddens but never re-runs the gather
+    "edges_b2": lambda: bench("edges B=2", B=2, remat_policy="edges"),
+    "edges_b4": lambda: bench("edges B=4", B=4, remat_policy="edges"),
 }
 
 if __name__ == "__main__":

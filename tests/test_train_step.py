@@ -110,3 +110,27 @@ def test_eval_step_pure():
     o1 = ev(state, batch)
     o2 = ev(state, batch)
     np.testing.assert_allclose(float(o1["loss"]), float(o2["loss"]))
+
+
+def test_edges_remat_policy_matches_full_remat_grads():
+    """The named-checkpoint "edges" policy (save gathered neighbors +
+    edge-MLP output + attention weights, recompute the rest) must be a
+    pure memory/speed trade: identical loss and identical updated params
+    vs full remat on a config spanning both a small-nn and the nn=64
+    group (the policy's target)."""
+    base = get_config("i_v4_1")
+    layers = (base.layers[0],) * 2 + (base.layers[-1],) * 2
+    batch = stack_batch([_random_padded(i, n=90, r=16) for i in range(2)])
+    results = {}
+    for pol in ("full", "edges"):
+        cfg = get_config("i_v4_1", layers=layers, remat=True, remat_policy=pol)
+        state, tx = create_train_state(cfg, learning_rate=1e-5)
+        step = make_train_step(cfg, tx, donate=False)
+        st, out = step(state, batch)
+        results[pol] = (
+            float(out["loss"]),
+            jax.tree_util.tree_leaves(st.params),
+        )
+    assert results["full"][0] == pytest.approx(results["edges"][0], abs=1e-6)
+    for a, b in zip(results["full"][1], results["edges"][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
