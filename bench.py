@@ -161,8 +161,9 @@ def main():
     knn_ms = (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS * 1e3
     log(f"knn (exact, 8k atoms): {knn_ms:.1f} ms")
 
-    # exact2 (threshold over-estimate + values-only compaction): the
-    # production serving default — exact results at near-"fast" cost
+    # exact2 (threshold over-estimate + values-only compaction): bit-
+    # identical to exact; demoted from the serving default in round 4
+    # (PERFORMANCE.md §4 post-mortem) but still measured every round
     def knn2_body(X, _):
         ids = knn_topology(X, amd, k=64, method="exact2")[0]
         eps = (ids[1, 1].astype(jnp.float32) % 3.0 - 1.0) * 1e-7

@@ -77,8 +77,10 @@ def knn_topology_batch(Xb: jax.Array, atom_mask_b: jax.Array, k: int = 64,
     Here the fast path vmaps and ONE scalar cond (any structure
     overflowed) picks the exact path for the whole batch — overflow is
     rare (W=384 covers the measured Morton-discontinuity tails; exact2's
-    candidate slack covers every row with >= k real neighbors), so the
-    common case runs the fast path alone.
+    candidate slack covers every row with >= k real neighbors, and its
+    count-based underflow guard fires only when the backend's
+    PartialReduce returns lossy values), so the common case runs the
+    fast path alone.
 
     with_overflow=True appends the scalar bool fallback flag to the
     returned tuple (always False for exact/fast) — serving telemetry
@@ -156,11 +158,12 @@ def knn_topology(
                  (ApproxTopK partial reduce + packed-key top-k; ~99.2%
                  neighbor-set agreement on protein-density clouds, far-tail
                  swaps only; ~3x faster selection — see the fast branch),
-                 or "exact2" (EXACT results by construction at near-fast
-                 cost: partial-reduce threshold over-estimate + values-only
-                 candidate compaction + tiny re-sort; rows that overflow
-                 the candidate slack raise a scalar flag and the structure
-                 re-runs the plain exact path — see the exact2 branch).
+                 or "exact2" (EXACT results, count-VERIFIED per run:
+                 partial-reduce threshold proposal + values-only candidate
+                 compaction + tiny re-sort, with the ball counted on TRUE
+                 distances; thresholds that over- OR under-shoot raise a
+                 scalar flag and the structure re-runs the plain exact
+                 path — see the exact2 branch).
                  Fast-mode tested contract (tests/test_topology.py
                  property cases): the exact top-32 PREFIX is never
                  dropped, and worst-case per-row neighbor-set recall on
@@ -288,31 +291,42 @@ def _knn_core(Xp, atom_mask, k, row_block, method, exact2_slack=192):
         rb = Dsq.shape[0]
         ovf = jnp.asarray(False)
         if method == "exact2" and n_chunks > 1:
-            # EXACT selection at near-"fast" cost. The partial tournament
-            # reduce (aggregate_to_topk=False) returns a SUBSET of each
-            # row's true values, so the subset's k-th smallest Dsq can
-            # only be >= the true k-th smallest — an over-estimated
-            # threshold whose ball {Dsq <= thr} is guaranteed to contain
-            # every true top-k member, regardless of the reduce's recall.
-            # Compacting that ball with a values-only int top-k (column
-            # ids as keys — XLA's TopK with index tracking costs ~3x a
-            # values-only pass on these shapes) and re-sorting the
-            # survivors by true Dsq reproduces the exact result whenever
-            # the ball fits the k+32 slack. Rows where it doesn't (>= 32
-            # f32-identical distance ties at the threshold, or rows with
-            # fewer than ~k real candidates, where thr lands in the
-            # pushed-duplicate/invalid value clusters) raise the scalar
-            # overflow flag and the CALLER re-runs the plain exact path
-            # for the whole structure/batch. Tie order matches "exact":
-            # candidates come out in ascending column order and the final
-            # stable top_k picks the earliest column among equal Dsq.
+            # EXACT selection at near-"fast" cost — with the exactness
+            # CHECKED against true distances, not assumed. A partial
+            # tournament reduce (aggregate_to_topk=False) proposes a
+            # threshold thr (its k-th best value); the ball
+            # {Dsq <= thr}, measured on the TRUE pushed distances,
+            # contains every true top-k member IFF it has >= k members
+            # (cnt >= k <=> thr >= the true k-th smallest Dsq). Both
+            # failure directions raise the same scalar overflow flag and
+            # the CALLER re-runs the plain exact path for the whole
+            # structure/batch:
+            #   cnt > kk — ball outgrew the candidate slack (>= slack
+            #     f32-identical ties at thr, or rows with < k real
+            #     candidates where thr lands in the pushed-duplicate/
+            #     invalid clusters);
+            #   cnt < k — thr undershot the true k-th distance. On CPU
+            #     approx_max_k lowers to exact top_k so this never
+            #     fires, but TPU's PartialReduce may return values that
+            #     are NOT an exact subset of the input (measured round
+            #     4: bit-identity vs exact failed on-chip with zero
+            #     overflow fallbacks until this guard landed), so the
+            #     subset-implies-overestimate argument cannot be
+            #     trusted; the count check restores exactness by
+            #     construction on any backend.
+            # The ball is compacted with values-only int top-ks (column
+            # ids as keys — XLA's TopK with index tracking used to cost
+            # ~3x a values-only pass on these shapes) and re-sorted by
+            # true Dsq. Tie order matches "exact": candidates come out
+            # in ascending column order and the final stable top_k picks
+            # the earliest column among equal Dsq.
             L = min(k + 32, NA)
             neg_part = jax.lax.approx_max_k(
                 jax.lax.optimization_barrier(-Dsq), L,
                 recall_target=0.95, aggregate_to_topk=False,
             )[0]
             kth = min(k, neg_part.shape[1])
-            thr = -jax.lax.top_k(neg_part, kth)[0][:, -1]  # >= true kth Dsq
+            thr = -jax.lax.top_k(neg_part, kth)[0][:, -1]
             kk = min(k + exact2_slack, NA)
             in_ball = Dsq <= thr[:, None]
             cols = jax.lax.broadcasted_iota(jnp.int32, (rb, NA), 1)
@@ -320,7 +334,8 @@ def _knn_core(Xp, atom_mask, k, row_block, method, exact2_slack=192):
             kc2 = min(kk, W)
             c1 = jax.lax.top_k(-keys.reshape(rb * n_chunks, W), kc2)[0]
             cand = -jax.lax.top_k(c1.reshape(rb, n_chunks * kc2), kk)[0]
-            ovf = jnp.any((mb > 0) & (jnp.sum(in_ball, axis=1) > kk))
+            cnt = jnp.sum(in_ball, axis=1)
+            ovf = jnp.any((mb > 0) & ((cnt > kk) | (cnt < min(k, NA))))
             dc = jnp.take_along_axis(Dsq, jnp.clip(cand, 0, NA - 1), axis=1)
             dc = jnp.where(cand >= NA, _BIG, dc)
             neg_top, i2 = jax.lax.top_k(-dc, k)  # [rb, kk] — tiny

@@ -229,6 +229,45 @@ def test_knn_exact2_batch_hoisted_cond():
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
 
+def test_knn_exact2_lossy_partial_reduce_falls_back(monkeypatch):
+    """exact2 must stay bit-identical to exact even when approx_max_k's
+    PartialReduce returns values that are NOT an exact subset of the
+    input. On CPU approx_max_k lowers to exact top_k, so this simulates
+    the TPU failure mode measured in round 4 (BENCH preview: bit-identity
+    False with zero fallbacks): perturb the returned -Dsq values UPWARD
+    so the derived threshold undershoots the true k-th distance and the
+    ball silently misses true neighbors. The count-based underflow guard
+    (cnt < k on TRUE distances) must raise the fallback flag and re-run
+    the exact path."""
+    import jax
+
+    orig = jax.lax.approx_max_k
+
+    def lossy(operand, k, **kw):
+        vals, idx = orig(operand, k, **kw)
+        # +0.05 in -Dsq space => thr 0.05 too SMALL in Dsq space
+        return vals + 0.05, idx
+
+    monkeypatch.setattr(jax.lax, "approx_max_k", lossy)
+    from pesto_tpu.topology import knn_topology_batch
+
+    # NA=1536 (3 chunks of W=512): a shape no other test traces, so the
+    # jit cache cannot serve a pre-monkeypatch compilation
+    X = _rand_coords(1400, seed=42) * 2
+    NA = 1536
+    Xb = np.zeros((1, NA, 3), np.float32)
+    mb = np.zeros((1, NA), np.float32)
+    Xb[0, 1 : len(X) + 1] = X
+    mb[0, 1 : len(X) + 1] = 1.0
+    Xb, mb = jnp.asarray(Xb), jnp.asarray(mb)
+    e = knn_topology_batch(Xb, mb, k=64, method="exact")
+    *t, ovf = knn_topology_batch(Xb, mb, k=64, method="exact2",
+                                 with_overflow=True)
+    assert bool(ovf), "lossy threshold must trip the count-based fallback"
+    for name, a, b in zip(("ids", "d", "r"), e, t):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
 @pytest.mark.skipif(
     not __import__("os").environ.get("PESTO_SLOW_TESTS"),
     reason="set PESTO_SLOW_TESTS=1 for the exact2 randomized stress sweep",
