@@ -70,11 +70,13 @@ def bench_forward(pred, batch):
     return (time.perf_counter() - t0 - _SYNC_MS) / BENCH_ITERS
 
 
-def _wait_for_device(max_wait_s=1200, probe_timeout_s=60):
+def _wait_for_device(max_wait_s=2700, probe_timeout_s=60):
     """Shared killable-subprocess probe (pesto_tpu.utils.device): block
     until the device backend initializes, surviving a wedged TPU tunnel
     (a killed process can leave a stale relay claim that makes backend
-    init hang until the claim times out — measured round 3)."""
+    init hang until the claim times out — measured round 3; round 4
+    observed a >45-min wedge after a CLEAN bench exit, hence the
+    2700 s budget)."""
     from pesto_tpu.utils import wait_for_device
 
     return wait_for_device(max_wait_s, probe_timeout_s, log=log)
