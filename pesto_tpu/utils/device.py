@@ -33,25 +33,17 @@ def wait_for_device(max_wait_s: float = 600, probe_timeout_s: float = 60,
     attempt = 0
     while True:
         attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; "
-                 "print(float(jnp.ones(3).sum()), jax.devices()[0].platform)"],
-                timeout=probe_timeout_s, capture_output=True, text=True,
-            )
-            if r.returncode == 0:
-                platform = r.stdout.split()[-1] if r.stdout.split() else "?"
-                if platform == "cpu" and not cpu_pinned:
-                    if log:
-                        log("device probe fell back to CPU (broken device "
-                            "plugin?); not counting as healthy")
-                else:
-                    if attempt > 1 and log:
-                        log(f"device recovered after {time.time()-t0:.0f}s")
-                    return True
-        except subprocess.TimeoutExpired:
-            pass
+        r = _run_probe(probe_timeout_s)
+        if r is not None and r.returncode == 0:
+            platform = r.stdout.split()[-1] if r.stdout.split() else "?"
+            if platform == "cpu" and not cpu_pinned:
+                if log:
+                    log("device probe fell back to CPU (broken device "
+                        "plugin?); not counting as healthy")
+            else:
+                if attempt > 1 and log:
+                    log(f"device recovered after {time.time()-t0:.0f}s")
+                return True
         waited = time.time() - t0
         if waited > max_wait_s:
             if log:
@@ -60,3 +52,32 @@ def wait_for_device(max_wait_s: float = 600, probe_timeout_s: float = 60,
         if log:
             log(f"device probe {attempt} failed (tunnel wedged?); retrying...")
         time.sleep(sleep_s)
+
+
+def _run_probe(probe_timeout_s):
+    """One probe attempt in a subprocess, terminated GENTLY on timeout.
+
+    subprocess.run's timeout path SIGKILLs the child — if the child had
+    already claimed the tunnel relay before hanging, the kill renews the
+    very stale claim the caller is waiting out (a probe loop can then
+    keep the tunnel wedged indefinitely). SIGTERM first lets the axon
+    client's atexit/signal handlers release the claim; SIGKILL only
+    after a grace period. Returns the CompletedProcess-like handle or
+    None on timeout."""
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp; "
+         "print(float(jnp.ones(3).sum()), jax.devices()[0].platform)"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        out, err = p.communicate(timeout=probe_timeout_s)
+        return subprocess.CompletedProcess(p.args, p.returncode, out, err)
+    except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            p.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
+        return None
