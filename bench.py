@@ -480,19 +480,21 @@ def main():
             _ = jeval(st, jax.device_put(hb))["loss"]
 
         # SUSTAINED window: >=100 steps with production-cadence eval (one
-        # pass every 50 steps) and one checkpoint — overhead amortized the
+        # pass every 48 steps) and one checkpoint — overhead amortized the
         # way a real run amortizes it, so the number can sit next to the
         # reference's multi-day 4.6-5.1 structures/s (BASELINE.md)
         n_struct = len(sizes)
         EPOCHS = 17  # 6 loader batches/epoch at 16384 atoms -> 102 steps
         t0 = time.perf_counter()
         steps = 0
+        n_evals = 0
         eval_out = None
         for _epoch in range(EPOCHS):
             for hb in loader:
                 st, out = jstep(st, jax.device_put(hb))
                 steps += 1
-            if steps % 48 == 0:  # every 12th epoch: a full eval pass
+            if steps % 48 == 0:  # epochs 8 and 16 at 6 batches/epoch
+                n_evals += 1
                 for hb in loader:
                     eval_out = jeval(st, jax.device_put(hb))["loss"]
         with tempfile.TemporaryDirectory() as ckdir:
@@ -511,10 +513,11 @@ def main():
             "steps_per_sec": round(steps / t_mix, 3),
             "steps": steps,
             "wall_sec": round(t_mix, 2),
-            "includes": f"loader+{EPOCHS} epochs+2 eval passes+ckpt save",
+            "includes": f"loader+{EPOCHS} epochs+{n_evals} eval passes+ckpt save",
         }
-        log(f"train mixed: {t_mix:.2f}s for {steps} steps + 2 evals + ckpt = "
-            f"{EPOCHS*n_struct/t_mix:.1f} structures/s, {atoms_total/t_mix:.0f} atoms/s")
+        log(f"train mixed: {t_mix:.2f}s for {steps} steps + {n_evals} evals "
+            f"+ ckpt = {EPOCHS*n_struct/t_mix:.1f} structures/s, "
+            f"{atoms_total/t_mix:.0f} atoms/s")
     except Exception as e:
         log(f"train bench skipped: {type(e).__name__}: {str(e)[:160]}")
 

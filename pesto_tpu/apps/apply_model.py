@@ -47,10 +47,12 @@ def main(argv=None):
     parser.add_argument("--fast-knn", action="store_true",
                         help="partial-reduce kNN (~1.8x; 99.2%% neighbor agreement, "
                              "far-tail swaps only); shorthand for --knn fast")
-    parser.add_argument("--knn", default="exact2",
+    parser.add_argument("--knn", default="exact",
                         choices=("exact", "exact2", "fast", "pallas"),
-                        help="kNN method (exact2 = exact results via "
-                             "threshold-compaction selection)")
+                        help="kNN method (exact is the production default; "
+                             "exact2 = count-verified threshold-compaction "
+                             "selection, 2x exact's cost on the current "
+                             "toolchain — PERFORMANCE.md section 4)")
     parser.add_argument("--classes", default=None, help="comma list of class indices to write")
     args = parser.parse_args(argv)
 

@@ -45,7 +45,7 @@ def pick_bodies(max_files=6):
     return bodies
 
 
-def run_load(port, bodies, n_clients, n_requests, stats_before):
+def run_load(port, bodies, n_clients, n_requests):
     lat = [None] * n_requests
     errs = []
 
@@ -112,19 +112,25 @@ def main():
     from pesto_tpu.batching import ATOM_BUCKETS, RES_BUCKETS, pick_bucket
     from pesto_tpu.serve import _parse_body_to_structure
 
-    warm_nas = sorted({
-        pick_bucket(
-            _parse_body_to_structure(b, "", "", 64 << 20)["xyz"].shape[0] + 1,
-            ATOM_BUCKETS)
-        for b in bodies
+    # derive the EXACT (atom, residue) bucket pairs the bodies will hit —
+    # guessing nr from na//8 misses atypical atoms-per-residue ratios
+    # (the committed round-4 artifact carries an 11.2 s p99 straggler
+    # from exactly such a cold compile inside the timed window)
+    from pesto_tpu.encoding import encode_structure
+
+    structures = [_parse_body_to_structure(b, "", "", 64 << 20) for b in bodies]
+    warm_pairs = sorted({
+        (pick_bucket(s["xyz"].shape[0] + 1, ATOM_BUCKETS),
+         pick_bucket(max(encode_structure(s)[1].shape[1], RES_BUCKETS[0]),
+                     RES_BUCKETS))
+        for s in structures
     })
-    log(f"warm atom buckets: {warm_nas}")
+    log(f"warm (atom, residue) buckets: {warm_pairs}")
 
     for method in ("exact", "fast"):
         pred = Predictor(cfg, params, knn_method=method)
         t0 = time.perf_counter()
-        for na in warm_nas:
-            nr = pick_bucket(max(na // 8, RES_BUCKETS[0]), RES_BUCKETS)
+        for na, nr in warm_pairs:
             # the chunk padder dispatches powers of two up to the
             # 32768-atom per-call budget (infer.py submit loop)
             bs = tuple(b for b in (1, 2, 4, 8, 16) if b * na <= 32768)
@@ -138,20 +144,21 @@ def main():
         port = srv.server_port
         try:
             # warm every bucket the bodies hit, at the merge batch shapes
-            run_load(port, bodies, 8, 2 * len(bodies), service.snapshot())
+            run_load(port, bodies, 8, 2 * len(bodies))
             for n_clients in (1, 4, 16):
                 before = service.snapshot()
                 row = run_load(port, bodies, n_clients,
                                max(n_req_base // (4 if n_clients == 1 else 1),
-                                   n_clients * 2),
-                               before)
+                                   n_clients * 2))
                 after = service.snapshot()
                 nb = after["batches"] - before["batches"]
                 ni = after["batched_items"] - before["batched_items"]
                 row.update({
                     "knn_method": method,
                     "mean_batch_size": round(ni / max(nb, 1), 2),
-                    "knn_fallbacks": after.get("knn_fallbacks", 0),
+                    # per-WINDOW delta, not the cumulative counter
+                    "knn_fallbacks": (after.get("knn_fallbacks", 0)
+                                      - before.get("knn_fallbacks", 0)),
                 })
                 results["rows"].append(row)
                 log(f"{method:6s} x{n_clients:2d} clients: "

@@ -12,12 +12,13 @@ alone is the hog. Measures sec/step for:
 Usage: python scripts/exp_train8k.py [case ...]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
