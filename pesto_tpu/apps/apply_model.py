@@ -34,7 +34,7 @@ def collect_pdbs(inputs):
     )
 
 
-def main(argv=None):
+def build_parser():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("inputs", nargs="+", help="PDB files, globs, or directories")
     parser.add_argument("--out", default=None, help="output dir (default: next to input)")
@@ -54,7 +54,11 @@ def main(argv=None):
                              "selection, 2x exact's cost on the current "
                              "toolchain — PERFORMANCE.md section 4)")
     parser.add_argument("--classes", default=None, help="comma list of class indices to write")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
 
     from ..infer import Predictor
     from ..io import read_structure, save_pdb

@@ -50,6 +50,20 @@ def test_apply_model_cli(tmp_path, tiny_predictor):
     assert all(0.0 <= b <= 1.0 for b in bf)
 
 
+def test_apply_model_knn_default_matches_production_pick():
+    """Drift guard: the CLI's --knn default must match the documented
+    production pick (exact — PERFORMANCE.md section 5) and Predictor's own
+    default. Round 4 caught apply_model shipping the demoted exact2 after
+    the serving-default revert missed this one surface."""
+    import inspect
+
+    from pesto_tpu.apps.apply_model import build_parser
+
+    assert build_parser().get_default("knn") == "exact"
+    sig = inspect.signature(Predictor.__init__)
+    assert sig.parameters["knn_method"].default == "exact"
+
+
 def test_profiling_cli(tmp_path, tiny_predictor):
     from pesto_tpu.apps import profiling
 
