@@ -169,7 +169,15 @@ def knn_topology(
                  dropped, and worst-case per-row neighbor-set recall on
                  adversarial geometries is >= 0.875 (regular lattice,
                  maximal ties), >= 0.984 (dense cluster + far outliers),
-                 1.0 (colinear chain). exact2 is bit-identical to exact
+                 1.0 (colinear chain). Caveat: those properties are
+                 proven under CPU lowering, where approx_max_k is exact
+                 top_k; on TPU the PartialReduce can return lossy values
+                 (scripts/exp_partialreduce_subset.py), so the on-chip
+                 guarantee is the MEASURED 99.2% neighbor agreement and
+                 0.003 median-AUC delta on pdbs_test, not the property
+                 tests. fast is approximate by contract either way;
+                 exact2's count guard is what restores exactness when
+                 it matters. exact2 is bit-identical to exact
                  on every geometry (the fallback guarantees it).
 
     Returns:
