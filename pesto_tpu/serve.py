@@ -229,11 +229,60 @@ def _annotated_pdb(structure, p_class) -> bytes:
         os.unlink(path)
 
 
+class _ResponseCache:
+    """Bounded LRU of complete response payloads keyed by request bytes.
+
+    Screening workloads re-submit identical structures (retry storms,
+    duplicate entries across ligand sets); a hit skips parse, encode,
+    kNN and the device dispatch entirely. Keyed on the SHA-256 of the
+    RAW body plus everything else that shapes the response (content
+    type, content encoding, output format, class index), so two
+    requests share an entry only when their responses are bytewise
+    interchangeable. Thread-safe; size 0 disables."""
+
+    def __init__(self, max_entries: int):
+        import collections
+        import threading as _t
+
+        self.max_entries = max_entries
+        self._d = collections.OrderedDict()
+        self._lock = _t.Lock()
+        self.hits = 0
+
+    @staticmethod
+    def key(body: bytes, ctype: str, encoding: str, fmt: str, k: int):
+        import hashlib
+
+        h = hashlib.sha256(body).hexdigest()
+        return (h, ctype, encoding, fmt, k)
+
+    def get(self, key):
+        if self.max_entries <= 0:
+            return None
+        with self._lock:
+            v = self._d.get(key)
+            if v is not None:
+                self._d.move_to_end(key)
+                self.hits += 1
+            return v
+
+    def put(self, key, payload_ctype):
+        if self.max_entries <= 0:
+            return
+        with self._lock:
+            self._d[key] = payload_ctype
+            self._d.move_to_end(key)
+            while len(self._d) > self.max_entries:
+                self._d.popitem(last=False)
+
+
 def make_server(service: BatchingService, host: str = "127.0.0.1",
                 port: int = 8490, model_name: str = "?",
-                max_body_bytes: int = 64 << 20):
+                max_body_bytes: int = 64 << 20, cache_entries: int = 32):
     """Build (not start) the ThreadingHTTPServer. Tests call
     serve_forever on a thread; main() blocks on it."""
+
+    cache = _ResponseCache(cache_entries)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -277,6 +326,8 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                 if st["batches"]:
                     st["mean_batch_size"] = st["batched_items"] / st["batches"]
                     st["mean_batch_ms"] = st["batch_ms_total"] / st["batches"]
+                st["cache_hits"] = cache.hits
+                st["cache_entries"] = len(cache._d)
                 self._send_json(200, st)
             else:
                 self._send_json(404, {"error": "unknown path"})
@@ -312,13 +363,18 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                 self._send_json(413, {
                     "error": f"body must be 0..{max_body_bytes} bytes"})
                 return
+            ctype = self.headers.get("Content-Type", "")
+            cenc = (self.headers.get("Content-Encoding") or "").lower()
+            body = self.rfile.read(length)
+            ckey = _ResponseCache.key(
+                body, ctype, cenc, "pdb" if want_pdb else "json", k)
+            hit = cache.get(ckey)
+            if hit is not None:
+                self._send(200, hit[0], ctype=hit[1])
+                return
             try:
-                body = self.rfile.read(length)
                 structure = _parse_body_to_structure(
-                    body,
-                    self.headers.get("Content-Type", ""),
-                    (self.headers.get("Content-Encoding") or "").lower(),
-                    max_body_bytes,
+                    body, ctype, cenc, max_body_bytes,
                 )
             except Exception as e:  # noqa: BLE001 — client error
                 self._send_json(400, {"error": f"unusable structure: {e}"})
@@ -331,17 +387,19 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                                 {"error": err})
                 return
             if want_pdb:
-                self._send(200, _annotated_pdb(structure, probs[:, k]),
-                           ctype="chemical/x-pdb")
+                payload, out_ctype = (_annotated_pdb(structure, probs[:, k]),
+                                      "chemical/x-pdb")
             else:
                 import numpy as np
 
-                self._send_json(200, {
+                payload, out_ctype = (json.dumps({
                     "classes": int(probs.shape[1]),
                     "residues": int(probs.shape[0]),
                     "probabilities": np.round(
                         np.asarray(probs, dtype=np.float64), 6).tolist(),
-                })
+                }).encode(), "application/json")
+            cache.put(ckey, (payload, out_ctype))
+            self._send(200, payload, ctype=out_ctype)
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -368,6 +426,10 @@ def main(argv=None):
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
     parser.add_argument("--max-body-mb", type=int, default=64,
                         help="reject request bodies larger than this (413)")
+    parser.add_argument("--cache-entries", type=int, default=32,
+                        help="LRU response cache size: repeated identical "
+                             "requests (same body/format/class) are served "
+                             "without touching the device; 0 disables")
     parser.add_argument("--warmup", action="store_true",
                         help="compile the common buckets before listening")
     args = parser.parse_args(argv)
@@ -417,7 +479,8 @@ def main(argv=None):
                               max_wait_ms=args.max_wait_ms)
     server = make_server(service, host=args.host, port=args.port,
                          model_name=model_name,
-                         max_body_bytes=args.max_body_mb << 20)
+                         max_body_bytes=args.max_body_mb << 20,
+                         cache_entries=args.cache_entries)
     print(f"pesto_tpu.serve listening on {args.host}:{args.port} "
           f"(model {model_name}, knn {knn_method}, max_batch {args.max_batch}, "
           f"max_wait {args.max_wait_ms} ms)", file=sys.stderr)

@@ -24,8 +24,10 @@ def server():
     cfg = cfg.replace(layers=cfg.layers[:2])
     pred = Predictor(cfg, init_params(cfg))
     service = BatchingService(pred, max_batch=8, max_wait_ms=150.0)
+    # cache off: these tests assert batcher/stats behavior per request,
+    # and several re-post the same body; the cache has its own fixture
     srv = make_server(service, host="127.0.0.1", port=0, model_name="test",
-                      max_body_bytes=2 << 20)
+                      max_body_bytes=2 << 20, cache_entries=0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv, service, pred
@@ -161,3 +163,48 @@ def test_concurrent_requests_share_one_batch(server):
     # exact2 fallback telemetry is part of the stats surface (serving
     # observability for the silent exact-path re-run)
     assert "knn_fallbacks" in after and after["knn_fallbacks"] >= 0
+
+
+@pytest.fixture(scope="module")
+def cached_server():
+    cfg = get_config("i_v4_0", dtype="float32")
+    cfg = cfg.replace(layers=cfg.layers[:2])
+    pred = Predictor(cfg, init_params(cfg))
+    service = BatchingService(pred, max_batch=8, max_wait_ms=50.0)
+    srv = make_server(service, host="127.0.0.1", port=0, model_name="test",
+                      max_body_bytes=2 << 20, cache_entries=8)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, service
+    srv.shutdown()
+    service.close()
+
+
+def test_response_cache_short_circuits_repeat_requests(cached_server):
+    """A repeated identical request must be served from the LRU response
+    cache: bytewise-identical payload, no new device dispatch (service
+    request count unchanged), cache_hits incremented. A different output
+    shape (format=pdb) for the same body is a separate cache entry."""
+    srv, service = cached_server
+    body = open(PDB, "rb").read()
+    s1, d1 = _post(srv, body)
+    assert s1 == 200
+    before = service.snapshot()
+    s2, d2 = _post(srv, body)
+    after = service.snapshot()
+    assert s2 == 200 and d2 == d1
+    assert after["requests"] == before["requests"], "hit must skip the device"
+    st = json.loads(_get(srv, "/v1/stats")[1])
+    assert st["cache_hits"] == 1 and st["cache_entries"] >= 1
+    # different response shape -> its own entry (miss, then hit)
+    s3, d3 = _post(srv, body, path="/v1/predict?format=pdb&class=1")
+    assert s3 == 200 and d3 != d1
+    mid = service.snapshot()
+    assert mid["requests"] == after["requests"] + 1
+    s4, d4 = _post(srv, body, path="/v1/predict?format=pdb&class=1")
+    assert s4 == 200 and d4 == d3
+    assert service.snapshot()["requests"] == mid["requests"]
+    # errors are never cached: a malformed body 400s every time
+    assert _post(srv, b"not a pdb\n")[0] == 400
+    assert _post(srv, b"not a pdb\n")[0] == 400
+    assert json.loads(_get(srv, "/v1/stats")[1])["cache_hits"] == 2
