@@ -137,8 +137,13 @@ def main():
             pred.warmup(buckets=[(na, nr)], batch_sizes=bs)
         log(f"{method}: warmup {time.perf_counter()-t0:.1f}s")
         service = BatchingService(pred, max_batch=16, max_wait_ms=20.0)
+        # cache OFF: this harness replays 6 bodies over ~100 requests, so
+        # the production-default LRU response cache would short-circuit
+        # nearly every request and the table would measure the cache, not
+        # the parse+batch+device capacity it claims to
         srv = make_server(service, host="127.0.0.1", port=0,
-                          model_name="bench", max_body_bytes=64 << 20)
+                          model_name="bench", max_body_bytes=64 << 20,
+                          cache_entries=0)
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
         port = srv.server_port
