@@ -279,16 +279,36 @@ def main():
     pred16f = Predictor(cfg16, params, knn_method="fast")
     e2e_fast = bench_pb(pred16f, "fast-kNN ")
 
-    # exact2 == exact identity, recorded as a bench-run artifact (not just
-    # a unit test): the same 12 records through both predictors must give
-    # BIT-identical probabilities (f32), plus the fallback count observed
+    # exact2 == exact identity, recorded as a bench-run artifact (not
+    # just a unit test). Measured round 4: the identity claim lives at
+    # the TOPOLOGY level — ids/d/r are bitwise identical on chip — but
+    # the e2e probabilities are NOT bitwise comparable across the two
+    # predictors, because exact-fused and exact2-fused are two different
+    # XLA programs and bf16 arithmetic is only reproducible within one
+    # compiled program (measured: every entry perturbed by <= 7.7e-3,
+    # the cross-program fusion-noise signature, with ids identical).
+    # So: assert topology identity bitwise, record the e2e max diff.
+    import jax.numpy as _jnp
+
+    from pesto_tpu.topology import knn_topology_batch as _ktb
+
+    _ps4 = [pad_structure_arrays(*raw[i], na=na, nr=nr) for i in range(B)]
+    Xb4 = jax.device_put(_jnp.stack([_jnp.asarray(p.X) for p in _ps4]))
+    mb4 = jax.device_put(_jnp.stack([_jnp.asarray(p.atom_mask) for p in _ps4]))
+    t_e = _ktb(Xb4, mb4, k=64, method="exact")
+    t_2 = _ktb(Xb4, mb4, k=64, method="exact2")
+    exact2_identical = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(t_e, t_2)
+    )
     p_e = pred16.predict_batch(records)
     p_x2 = pred16x2.predict_batch(records)
-    exact2_identical = all(
-        np.array_equal(a, b) for a, b in zip(p_e, p_x2)
+    exact2_prob_maxdiff = max(
+        float(np.max(np.abs(a - b))) for a, b in zip(p_e, p_x2)
     )
-    log(f"exact2 vs exact bit-identity over 12x8k: {exact2_identical} "
-        f"(fallbacks: {pred16x2.knn_fallback_count})")
+    log(f"exact2 vs exact: topology bit-identity {exact2_identical}; e2e "
+        f"max|prob diff| {exact2_prob_maxdiff:.1e} (cross-program bf16 "
+        f"noise; fallbacks: {pred16x2.knn_fallback_count})")
 
     # --- parse-INCLUSIVE e2e over real PDB files -------------------------
     # the 36.6 atoms/s CPU-torch baseline parsed files; this line divides
@@ -537,7 +557,8 @@ def main():
                                            "PERFORMANCE.md §4)",
                     "e2e_exact_knn_atoms_per_sec": round(e2e, 1),
                     "e2e_exact2_atoms_per_sec": round(e2e_exact2, 1),
-                    "exact2_bit_identical_to_exact": bool(exact2_identical),
+                    "exact2_topology_bit_identical": bool(exact2_identical),
+                    "exact2_e2e_max_prob_diff_bf16_noise": exact2_prob_maxdiff,
                     "exact2_fallbacks_in_run": int(pred16x2.knn_fallback_count),
                     "e2e_from_pdb_atoms_per_sec": (
                         round(e2e_pdb, 1) if e2e_pdb else None

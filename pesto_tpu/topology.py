@@ -171,11 +171,10 @@ def knn_topology(
                  maximal ties), >= 0.984 (dense cluster + far outliers),
                  1.0 (colinear chain). Caveat: those properties are
                  proven under CPU lowering, where approx_max_k is exact
-                 top_k; on TPU the PartialReduce can return lossy values
-                 (scripts/exp_partialreduce_subset.py), so the on-chip
-                 guarantee is the MEASURED 99.2% neighbor agreement and
-                 0.003 median-AUC delta on pdbs_test, not the property
-                 tests. fast is approximate by contract either way;
+                 top_k, so they say nothing about the TPU PartialReduce's
+                 recall; the on-chip guarantee is the MEASURED 99.2%
+                 neighbor agreement and 0.003 median-AUC delta on
+                 pdbs_test. fast is approximate by contract either way;
                  exact2's count guard is what restores exactness when
                  it matters. exact2 is bit-identical to exact
                  on every geometry (the fallback guarantees it).
@@ -313,15 +312,16 @@ def _knn_core(Xp, atom_mask, k, row_block, method, exact2_slack=192):
             #     f32-identical ties at thr, or rows with < k real
             #     candidates where thr lands in the pushed-duplicate/
             #     invalid clusters);
-            #   cnt < k — thr undershot the true k-th distance. On CPU
-            #     approx_max_k lowers to exact top_k so this never
-            #     fires, but TPU's PartialReduce may return values that
-            #     are NOT an exact subset of the input (measured round
-            #     4: bit-identity vs exact failed on-chip with zero
-            #     overflow fallbacks until this guard landed), so the
-            #     subset-implies-overestimate argument cannot be
-            #     trusted; the count check restores exactness by
-            #     construction on any backend.
+            #   cnt < k — thr undershot the true k-th distance. Never
+            #     observed: CPU's approx_max_k lowers to exact top_k,
+            #     and the on-chip probe (scripts/
+            #     exp_partialreduce_subset.py, round 4) measured TPU's
+            #     PartialReduce as an exact value-subset too (100% of
+            #     entries, 0% undershoot at k=64). The guard exists so
+            #     exactness is a CHECKED invariant on any backend
+            #     rather than an argument about lowering behavior —
+            #     the CPU regression test simulates a lossy backend by
+            #     monkeypatching approx_max_k and the fallback fires.
             # The ball is compacted with values-only int top-ks (column
             # ids as keys — XLA's TopK with index tracking used to cost
             # ~3x a values-only pass on these shapes) and re-sorted by

@@ -230,15 +230,17 @@ def test_knn_exact2_batch_hoisted_cond():
 
 
 def test_knn_exact2_lossy_partial_reduce_falls_back(monkeypatch):
-    """exact2 must stay bit-identical to exact even when approx_max_k's
-    PartialReduce returns values that are NOT an exact subset of the
-    input. On CPU approx_max_k lowers to exact top_k, so this simulates
-    the TPU failure mode measured in round 4 (BENCH preview: bit-identity
-    False with zero fallbacks): perturb the returned -Dsq values UPWARD
-    so the derived threshold undershoots the true k-th distance and the
-    ball silently misses true neighbors. The count-based underflow guard
-    (cnt < k on TRUE distances) must raise the fallback flag and re-run
-    the exact path."""
+    """exact2 must stay bit-identical to exact even on a backend whose
+    approx_max_k PartialReduce returns values that are NOT an exact
+    subset of the input. No real backend here does (CPU lowers to exact
+    top_k; the round-4 on-chip probe measured TPU's PartialReduce as an
+    exact subset too — scripts/exp_partialreduce_subset.py), so this
+    simulates a hypothetical lossy one: perturb the returned -Dsq values
+    UPWARD so the derived threshold undershoots the true k-th distance
+    and the ball silently misses true neighbors. The count-based
+    underflow guard (cnt < k on TRUE distances) must raise the fallback
+    flag and re-run the exact path — exactness as a checked invariant,
+    not an argument about lowering behavior."""
     import jax
 
     orig = jax.lax.approx_max_k
