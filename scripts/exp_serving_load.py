@@ -150,6 +150,12 @@ def main():
         try:
             # warm every bucket the bodies hit, at the merge batch shapes
             run_load(port, bodies, 8, 2 * len(bodies))
+            # ...and as SINGLETON dispatches: the tunneled runtime pays a
+            # multi-second stall on the first real dispatch of each shape
+            # per process even when warmup() compiled it (measured 20.6 s
+            # then 3.6 s in the first 1-client window across two runs);
+            # the 8-client pre-pass only exercises merged-batch shapes
+            run_load(port, bodies, 1, len(bodies))
             for n_clients in (1, 4, 16):
                 before = service.snapshot()
                 row = run_load(port, bodies, n_clients,
