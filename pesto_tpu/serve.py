@@ -276,6 +276,51 @@ class _ResponseCache:
                 self._d.popitem(last=False)
 
 
+class _Singleflight:
+    """In-flight dedup: concurrent identical requests compute once.
+
+    The LRU cache only helps AFTER the first response lands; a retry
+    storm of N identical requests arriving together would compute N
+    times. The first arrival for a key becomes the LEADER and computes;
+    followers block on its event, then re-check the cache. A leader
+    that errors never fills the cache — its followers fall through and
+    compute themselves (rare, so no re-election complexity). Disabled
+    alongside the cache (leaders always win when there is no cache to
+    re-check)."""
+
+    def __init__(self, enabled: bool):
+        import threading as _t
+
+        self.enabled = enabled
+        self._lock = _t.Lock()
+        self._inflight = {}
+        self.waits = 0
+
+    def lead_or_wait(self, key, timeout_s: float):
+        """Returns True if the caller is the leader (must call done()),
+        False if it waited for a leader (re-check the cache)."""
+        if not self.enabled:
+            return True
+        with self._lock:
+            ev = self._inflight.get(key)
+            if ev is None:
+                import threading as _t
+
+                self._inflight[key] = _t.Event()
+                return True
+            self.waits += 1
+        ev.wait(timeout_s)
+        return False
+
+    def done(self, key):
+        if not self.enabled:
+            return
+        with self._lock:
+            ev = self._inflight.pop(key, None)
+        if ev is not None:
+            ev.set()
+
+
 def make_server(service: BatchingService, host: str = "127.0.0.1",
                 port: int = 8490, model_name: str = "?",
                 max_body_bytes: int = 64 << 20, cache_entries: int = 32):
@@ -283,6 +328,7 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
     serve_forever on a thread; main() blocks on it."""
 
     cache = _ResponseCache(cache_entries)
+    flight = _Singleflight(cache_entries > 0)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -328,6 +374,7 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                     st["mean_batch_ms"] = st["batch_ms_total"] / st["batches"]
                 st["cache_hits"] = cache.hits
                 st["cache_entries"] = len(cache._d)
+                st["singleflight_waits"] = flight.waits
                 self._send_json(200, st)
             else:
                 self._send_json(404, {"error": "unknown path"})
@@ -372,34 +419,51 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
             if hit is not None:
                 self._send(200, hit[0], ctype=hit[1])
                 return
+            # singleflight: if an identical request is already computing,
+            # wait for it and serve its cached response instead of
+            # computing again; on leader failure, fall through and compute
+            # (a fall-through follower never calls done() — it holds no
+            # registration, and popping would release a LATER leader's
+            # followers early)
+            is_leader = flight.lead_or_wait(ckey, 330.0)  # > predict timeout
+            if not is_leader:
+                hit = cache.get(ckey)
+                if hit is not None:
+                    self._send(200, hit[0], ctype=hit[1])
+                    return
             try:
-                structure = _parse_body_to_structure(
-                    body, ctype, cenc, max_body_bytes,
-                )
-            except Exception as e:  # noqa: BLE001 — client error
-                self._send_json(400, {"error": f"unusable structure: {e}"})
-                return
-            probs, err, err_kind = service.predict(structure)
-            if err is not None:
-                # this item's fault (over-bucket/encode) -> 413;
-                # batch failure or timeout -> 503
-                self._send_json(413 if err_kind == "item" else 503,
-                                {"error": err})
-                return
-            if want_pdb:
-                payload, out_ctype = (_annotated_pdb(structure, probs[:, k]),
-                                      "chemical/x-pdb")
-            else:
-                import numpy as np
+                try:
+                    structure = _parse_body_to_structure(
+                        body, ctype, cenc, max_body_bytes,
+                    )
+                except Exception as e:  # noqa: BLE001 — client error
+                    self._send_json(400, {"error": f"unusable structure: {e}"})
+                    return
+                probs, err, err_kind = service.predict(structure)
+                if err is not None:
+                    # this item's fault (over-bucket/encode) -> 413;
+                    # batch failure or timeout -> 503
+                    self._send_json(413 if err_kind == "item" else 503,
+                                    {"error": err})
+                    return
+                if want_pdb:
+                    payload, out_ctype = (
+                        _annotated_pdb(structure, probs[:, k]),
+                        "chemical/x-pdb")
+                else:
+                    import numpy as np
 
-                payload, out_ctype = (json.dumps({
-                    "classes": int(probs.shape[1]),
-                    "residues": int(probs.shape[0]),
-                    "probabilities": np.round(
-                        np.asarray(probs, dtype=np.float64), 6).tolist(),
-                }).encode(), "application/json")
-            cache.put(ckey, (payload, out_ctype))
-            self._send(200, payload, ctype=out_ctype)
+                    payload, out_ctype = (json.dumps({
+                        "classes": int(probs.shape[1]),
+                        "residues": int(probs.shape[0]),
+                        "probabilities": np.round(
+                            np.asarray(probs, dtype=np.float64), 6).tolist(),
+                    }).encode(), "application/json")
+                cache.put(ckey, (payload, out_ctype))
+                self._send(200, payload, ctype=out_ctype)
+            finally:
+                if is_leader:
+                    flight.done(ckey)
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -208,3 +208,31 @@ def test_response_cache_short_circuits_repeat_requests(cached_server):
     assert _post(srv, b"not a pdb\n")[0] == 400
     assert _post(srv, b"not a pdb\n")[0] == 400
     assert json.loads(_get(srv, "/v1/stats")[1])["cache_hits"] == 2
+
+
+def test_singleflight_dedups_concurrent_identical_requests(cached_server):
+    """N identical requests arriving TOGETHER (before any response lands,
+    so the LRU cache cannot help) must compute once: one leader runs the
+    device path, followers wait on it and serve its cached bytes."""
+    srv, service = cached_server
+    body = open("/root/reference/examples/dna_rna/1H9D.pdb1", "rb").read()
+    before = service.snapshot()
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = _post(srv, body)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r[0] == 200 for r in results)
+    assert all(r[1] == results[0][1] for r in results[1:])
+    after = service.snapshot()
+    # the leader's request is the only one that touched the service
+    assert after["requests"] == before["requests"] + 1
+    st = json.loads(_get(srv, "/v1/stats")[1])
+    # >=1 not >=3: a very fast leader can turn late arrivals into plain
+    # cache hits — also a correct dedup, just via the other mechanism
+    assert st["singleflight_waits"] >= 1
