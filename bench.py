@@ -297,6 +297,40 @@ def main():
     mb4 = jax.device_put(_jnp.stack([_jnp.asarray(p.atom_mask) for p in _ps4]))
     t_e = _ktb(Xb4, mb4, k=64, method="exact")
     t_2 = _ktb(Xb4, mb4, k=64, method="exact2")
+    # fast-kNN agreement, measured ON THIS BACKEND every bench run
+    # (round-5 ask: the 99.2% figure was a round-2 CPU-era artifact;
+    # approx-class ops lower differently per backend, so the claim is
+    # re-earned per toolchain). Agreement = |fast ids ∩ exact ids| / k
+    # per valid row; worst_missed_rank = the smallest exact-rank (0 =
+    # nearest neighbor) ever missing from fast's set — the severity of
+    # the worst single disagreement.
+    ids_e = np.asarray(t_e[0])
+    ids_f = np.asarray(_ktb(Xb4, mb4, k=64, method="fast")[0])
+    valid4 = np.asarray(mb4) > 0
+    agree_n = 0
+    total_n = 0
+    worst_missed_rank = None
+    for b_i in range(ids_e.shape[0]):
+        rows = np.nonzero(valid4[b_i])[0]
+        se = ids_e[b_i, rows]                      # [R, k] exact, rank-ordered
+        sf = ids_f[b_i, rows]                      # [R, k] fast
+        hit = (se[:, :, None] == sf[:, None, :]).any(-1)  # [R, k]
+        agree_n += int(hit.sum())
+        total_n += hit.size
+        missed_rows = ~hit.all(axis=1)
+        if missed_rows.any():
+            first_miss = np.argmax(~hit[missed_rows], axis=1)
+            m = int(first_miss.min())
+            if worst_missed_rank is None or m < worst_missed_rank:
+                worst_missed_rank = m
+    fast_agreement_pct = 100.0 * agree_n / max(total_n, 1)
+    log(f"fast-kNN on-chip agreement vs exact: {fast_agreement_pct:.2f}% "
+        f"({agree_n}/{total_n} neighbor slots); worst missed exact-rank: "
+        f"{worst_missed_rank}")
+    if fast_agreement_pct < 97.0:
+        log(f"WARNING: fast-kNN agreement regressed below 97% "
+            f"({fast_agreement_pct:.2f}%) — re-validate AUC before "
+            f"serving with method='fast' on this toolchain")
     exact2_identical = all(
         np.array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(t_e, t_2)
@@ -541,13 +575,22 @@ def main():
     except Exception as e:
         log(f"train bench skipped: {type(e).__name__}: {str(e)[:160]}")
 
+    # Headline is LIKE-FOR-LIKE (round-5 ask 6): the 36.6 atoms/s torch-
+    # CPU baseline parsed PDB files, so the headline numerator must too.
+    # The parse-free record-level rate stays in detail as the serving-
+    # path number (e2e_record_atoms_per_sec).
+    headline = e2e_pdb if e2e_pdb else e2e
+    # train headline is the sustained mixed-bucket number (round-5 ask
+    # 3): the reference's 4.6-5.1/s was the real mixed <=8k dataset, not
+    # a single-size bucket; the 1k-bucket figure stays as its own field.
+    train_mixed_sps = train_mixed["structures_per_sec"] if train_mixed else None
     print(
         json.dumps(
             {
                 "metric": "i_v4_1_e2e_inference_atoms_per_sec_per_chip",
-                "value": round(e2e, 1),
+                "value": round(headline, 1),
                 "unit": "atoms/s",
-                "vs_baseline": round(e2e / BASELINE_ATOMS_PER_SEC, 2),
+                "vs_baseline": round(headline / BASELINE_ATOMS_PER_SEC, 2),
                 "detail": {
                     "batch_size": B,
                     "atoms": n_atoms,
@@ -555,6 +598,7 @@ def main():
                     "headline_knn_method": "exact (serving default; "
                                            "round-4 exact2 post-mortem in "
                                            "PERFORMANCE.md §4)",
+                    "e2e_record_atoms_per_sec": round(e2e, 1),
                     "e2e_exact_knn_atoms_per_sec": round(e2e, 1),
                     "e2e_exact2_atoms_per_sec": round(e2e_exact2, 1),
                     "exact2_topology_bit_identical": bool(exact2_identical),
@@ -565,6 +609,8 @@ def main():
                     ),
                     "e2e_from_pdb_total_atoms": e2e_pdb_atoms,
                     "e2e_fast_knn_atoms_per_sec": round(e2e_fast, 1),
+                    "fast_knn_agreement_pct": round(fast_agreement_pct, 2),
+                    "fast_knn_worst_missed_rank": worst_missed_rank,
                     "e2e_fast_knn_auc_note": "pdbs_test median AUC 0.8915 fast vs 0.8945 exact",
                     "e2e_serial_atoms_per_sec": round(e2e_serial, 1),
                     "forward_atoms_per_sec_bf16": round(fwd16, 1),
@@ -575,8 +621,10 @@ def main():
                     "knn_ms_8k_exact2": round(knn2_ms, 1),
                     "knn_ms_8k_exact_pallas": round(knn_pallas_ms, 1) if knn_pallas_ms else None,
                     "encode_knn_ms_batch": round(t_encode * 1e3, 1),
-                    "train_structures_per_sec": round(train_sps, 2) if train_sps else None,
-                    "train_vs_v100_baseline": round(train_sps / 5.0, 2) if train_sps else None,
+                    "train_1k_structures_per_sec": round(train_sps, 2) if train_sps else None,
+                    "train_vs_v100_baseline": (
+                        round(train_mixed_sps / 5.0, 2) if train_mixed_sps else None
+                    ),
                     "train_8k": train_8k,
                     "train_mixed": train_mixed,
                     "train_8k_mfu": round(train_mfu, 4) if train_mfu else None,

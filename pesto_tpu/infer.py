@@ -42,8 +42,21 @@ class Predictor:
         self.knn_method = knn_method
         # how many fused-serve dispatches hit the exact2/pallas overflow
         # fallback (the batch silently re-ran the plain exact path);
-        # exposed via serve.py /v1/stats and a predict_batch log line
+        # exposed via serve.py /v1/stats and a predict_batch log line.
+        # Lock because concurrent predict_batch callers (serve.py handler
+        # threads) increment it and '+=' is not atomic under threading.
+        import threading as _threading
+
         self.knn_fallback_count = 0
+        self._fallback_lock = _threading.Lock()
+        # cumulative per-stage host-side timers for predict_batch
+        # (record encode pool, stacked-batch encode, blocked device
+        # readback). Serving reads these through /v1/stats to name the
+        # throughput ceiling (round-5 serving instrumentation); stages
+        # OVERLAP under the software pipeline, so these are attribution
+        # aids, not a wall-clock decomposition.
+        self.stage_ms = {"record_encode": 0.0, "batch_encode": 0.0,
+                         "device_wait": 0.0, "batch_calls": 0}
         self.mesh = mesh  # data-parallel serving over a device mesh
         if mesh is None:
             # commit the parameters to the device ONCE: numpy params (the
@@ -461,7 +474,15 @@ class Predictor:
                           file=_sys.stderr)
                     return None
 
+            import time as _time
+
+            _t0 = _time.perf_counter()
             recs = list(pool.map(host_encode_safe, enumerate(structures)))
+            # stage timers: _pb_lock serializes predict_batch, so these
+            # accumulate without their own lock
+            self.stage_ms["record_encode"] += (
+                (_time.perf_counter() - _t0) * 1e3)
+            self.stage_ms["batch_calls"] += 1
             buckets: Dict[tuple, list] = {}
             for i, rec in enumerate(recs):
                 if rec is None:
@@ -487,10 +508,13 @@ class Predictor:
                 """Encode + dispatch one chunk; returns device PROBS
                 without a host sync, so later chunks' host encodes overlap
                 this chunk's device execution."""
+                _te = _time.perf_counter()
                 batch = self._batch_encoder.encode(
                     [recs[i] for i in chunk], na=na, nr=nr, spatial_sort=True,
                     n_features=self.cfg.em_n0,
                 )
+                self.stage_ms["batch_encode"] += (
+                    (_time.perf_counter() - _te) * 1e3)
                 if self.use_gather_tables:
                     # one-hot gather tables need the kNN ids on the host;
                     # this path keeps the separate-kNN pipeline
@@ -528,8 +552,13 @@ class Predictor:
                 )
 
             def collect(chunk, res_dev):
+                import time as _time
+
                 probs_dev, ovf_dev = res_dev
+                _tc = _time.perf_counter()
                 probs = np.asarray(probs_dev)
+                self.stage_ms["device_wait"] += (
+                    (_time.perf_counter() - _tc) * 1e3)
                 if ovf_dev is not None and bool(np.any(np.asarray(ovf_dev))):
                     # exact2/pallas candidate overflow: the chunk silently
                     # re-ran the exact path — still exact, but worth a
@@ -537,7 +566,8 @@ class Predictor:
                     # geometry regime where overflow is NOT rare is visible
                     import sys as _sys
 
-                    self.knn_fallback_count += 1
+                    with self._fallback_lock:
+                        self.knn_fallback_count += 1
                     print(
                         f"knn-fallback: chunk of {len(chunk)} re-ran the "
                         f"exact path ({self.knn_method} candidate overflow)",

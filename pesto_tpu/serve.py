@@ -68,32 +68,68 @@ class BatchingService:
     predict_batch dispatches. Thread-safe; predict() blocks the calling
     thread until its batch is served."""
 
-    def __init__(self, predictor, max_batch: int = 16, max_wait_ms: float = 20.0):
+    def __init__(self, predictor, max_batch: int = 16, max_wait_ms: float = 20.0,
+                 max_queue: int = 0):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        # back-pressure bound: reject (429) when this many requests are
+        # already parsing or queued. 0 = default of 4x max_batch — deep
+        # queues only grow the tail (round-4 p99 was queueing, not
+        # compute); a bounded queue converts overload into fast retries.
+        self.max_queue = int(max_queue) if max_queue else 4 * self.max_batch
         self._q = queue.Queue()
         self._stop = threading.Event()
+        # handlers mid-parse: arrivals the batcher knows are imminent.
+        # The collect window extends while this is nonzero so one batch
+        # absorbs a burst whose parses finish a few ms apart (the round-4
+        # merge plateau at 6.9/16 was exactly this stagger).
+        self._parsing = 0
+        self._parsing_lock = threading.Lock()
         self.stats = {
             "requests": 0, "errors": 0, "timeouts": 0, "batches": 0,
             "batched_items": 0, "max_batch_seen": 0, "atoms": 0,
             "residues": 0, "batch_ms_total": 0.0,
+            # per-request stage attribution (cumulative ms; /v1/stats
+            # divides by the counts to name the throughput ceiling)
+            "queue_wait_ms_total": 0.0, "rejected_429": 0,
         }
         self._stats_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="pesto-batcher")
         self._thread.start()
 
+    # -- back-pressure / arrival tracking ---------------------------------
+    def overloaded(self) -> bool:
+        with self._parsing_lock:
+            parsing = self._parsing
+        return self._q.qsize() + parsing >= self.max_queue
+
+    def reserve(self):
+        """A handler is about to parse a request destined for predict():
+        the batcher may extend its collect window for it."""
+        with self._parsing_lock:
+            self._parsing += 1
+
+    def unreserve(self):
+        with self._parsing_lock:
+            self._parsing -= 1
+
     def close(self):
         self._stop.set()
         self._q.put(None)  # wake the drain
         self._thread.join(timeout=10.0)
 
-    def predict(self, structure, timeout_s: float = 300.0):
+    def predict(self, structure, timeout_s: float = 300.0,
+                reserved: bool = False):
         """Enqueue one cleaned structure; returns (probs, None, None) or
-        (None, error_message, error_kind)."""
+        (None, error_message, error_kind). With reserved=True, releases
+        the caller's reserve() AFTER the item is visible in the queue
+        (no window where the batcher sees neither signal)."""
         p = _Pending(structure)
         self._q.put(p)
+        if reserved:
+            self.unreserve()
         if not p.event.wait(timeout_s):
             # mark abandoned so the batcher sheds it instead of burning a
             # device dispatch on a request nobody is waiting for
@@ -106,20 +142,35 @@ class BatchingService:
     # -- batcher thread ---------------------------------------------------
     def _collect(self):
         """Block for the first pending request, then keep draining until
-        max_batch or until max_wait_ms passed since the first arrival."""
+        max_batch or until max_wait_ms passed since the first arrival.
+
+        The window EXTENDS (up to a hard cap of 8x max_wait) while
+        handler threads are mid-parse: those arrivals are milliseconds
+        away, and dispatching without them fragments the burst into
+        half-empty device batches (the round-4 load table's 6.9/16
+        merge plateau). A full batch still dispatches immediately."""
         first = self._q.get()
         if first is None:
             return []
         batch = [first]
-        deadline = time.monotonic() + self.max_wait_s
+        t0 = time.monotonic()
+        deadline = t0 + self.max_wait_s
+        hard_deadline = t0 + 8.0 * self.max_wait_s
         while len(batch) < self.max_batch:
-            rem = deadline - time.monotonic()
+            now = time.monotonic()
+            rem = deadline - now
             if rem <= 0:
-                break
+                with self._parsing_lock:
+                    parsing = self._parsing
+                if parsing > 0 and now < hard_deadline:
+                    # imminent arrivals: poll in short slices
+                    rem = min(0.005, hard_deadline - now)
+                else:
+                    break
             try:
                 nxt = self._q.get(timeout=rem)
             except queue.Empty:
-                break
+                continue
             if nxt is None:
                 break
             batch.append(nxt)
@@ -131,6 +182,7 @@ class BatchingService:
             if not batch:
                 continue
             t0 = time.monotonic()
+            q_wait_ms = sum((t0 - p.t_enqueue) * 1e3 for p in batch)
             try:
                 probs = self.predictor.predict_batch(
                     [p.structure for p in batch]
@@ -167,6 +219,7 @@ class BatchingService:
                 )
                 st["residues"] += n_res
                 st["batch_ms_total"] += dt_ms
+                st["queue_wait_ms_total"] += q_wait_ms
 
     def snapshot(self):
         with self._stats_lock:
@@ -175,6 +228,24 @@ class BatchingService:
         # proves the "overflow is rare" claim in production, and surfaces
         # a geometry regime where it isn't
         st["knn_fallbacks"] = getattr(self.predictor, "knn_fallback_count", 0)
+        # predictor-side stage attribution (cumulative host ms inside
+        # predict_batch: record encode pool / stacked-batch encode /
+        # blocked device readback) — with the handler-side parse/
+        # serialize/queue-wait counters this names the serving ceiling
+        st["predictor_stage_ms"] = dict(
+            getattr(self.predictor, "stage_ms", {}) or {})
+        if st["batches"]:
+            st["mean_batch_ms"] = round(st["batch_ms_total"] / st["batches"], 2)
+            st["mean_batch_size"] = round(st["batched_items"] / st["batches"], 2)
+        if st["requests"]:
+            st["mean_queue_wait_ms"] = round(
+                st["queue_wait_ms_total"] / st["requests"], 2)
+        if st.get("parse_n"):
+            st["mean_parse_ms"] = round(
+                st["parse_ms_total"] / st["parse_n"], 2)
+        if st.get("serialize_n"):
+            st["mean_serialize_ms"] = round(
+                st["serialize_ms_total"] / st["serialize_n"], 2)
         return st
 
 
@@ -238,23 +309,31 @@ class _ResponseCache:
     RAW body plus everything else that shapes the response (content
     type, content encoding, output format, class index), so two
     requests share an entry only when their responses are bytewise
-    interchangeable. Thread-safe; size 0 disables."""
+    interchangeable — including the predictor's runtime-mutable kNN
+    method (an operator flipping pred.knn_method must not keep serving
+    responses computed under the old method). Thread-safe; size 0
+    disables. Memory is bounded in BYTES as well as entries: a JSON
+    probability payload for a large structure runs tens of MB, so an
+    entry-count bound alone allowed entries x payload of residency."""
 
-    def __init__(self, max_entries: int):
+    def __init__(self, max_entries: int, max_bytes: int = 128 << 20):
         import collections
         import threading as _t
 
         self.max_entries = max_entries
+        self.max_bytes = int(max_bytes)
         self._d = collections.OrderedDict()
+        self._bytes = 0
         self._lock = _t.Lock()
         self.hits = 0
 
     @staticmethod
-    def key(body: bytes, ctype: str, encoding: str, fmt: str, k: int):
+    def key(body: bytes, ctype: str, encoding: str, fmt: str, k: int,
+            knn_method: str):
         import hashlib
 
         h = hashlib.sha256(body).hexdigest()
-        return (h, ctype, encoding, fmt, k)
+        return (h, ctype, encoding, fmt, k, knn_method)
 
     def get(self, key):
         if self.max_entries <= 0:
@@ -269,11 +348,19 @@ class _ResponseCache:
     def put(self, key, payload_ctype):
         if self.max_entries <= 0:
             return
+        size = len(payload_ctype[0])
+        if size > self.max_bytes // 4:
+            return  # one giant payload must not evict the whole cache
         with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= len(old[0])
             self._d[key] = payload_ctype
-            self._d.move_to_end(key)
-            while len(self._d) > self.max_entries:
-                self._d.popitem(last=False)
+            self._bytes += size
+            while self._d and (len(self._d) > self.max_entries
+                               or self._bytes > self.max_bytes):
+                _, (pay, _c) = self._d.popitem(last=False)
+                self._bytes -= len(pay)
 
 
 class _Singleflight:
@@ -414,10 +501,26 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
             cenc = (self.headers.get("Content-Encoding") or "").lower()
             body = self.rfile.read(length)
             ckey = _ResponseCache.key(
-                body, ctype, cenc, "pdb" if want_pdb else "json", k)
+                body, ctype, cenc, "pdb" if want_pdb else "json", k,
+                getattr(service.predictor, "knn_method", "?"))
             hit = cache.get(ckey)
             if hit is not None:
                 self._send(200, hit[0], ctype=hit[1])
+                return
+            # back-pressure AFTER the cache check (hits are free): a
+            # bounded queue converts overload into fast 429 retries
+            # instead of a seconds-deep latency tail
+            if service.overloaded():
+                with service._stats_lock:
+                    service.stats["rejected_429"] += 1
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                payload = json.dumps({
+                    "error": "server at capacity, retry"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
                 return
             # singleflight: if an identical request is already computing,
             # wait for it and serve its cached response instead of
@@ -432,20 +535,39 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                     self._send(200, hit[0], ctype=hit[1])
                     return
             try:
+                # reserve BEFORE parsing: the batcher extends its collect
+                # window for requests it knows are mid-parse
+                service.reserve()
+                handed_off = False
                 try:
-                    structure = _parse_body_to_structure(
-                        body, ctype, cenc, max_body_bytes,
-                    )
-                except Exception as e:  # noqa: BLE001 — client error
-                    self._send_json(400, {"error": f"unusable structure: {e}"})
-                    return
-                probs, err, err_kind = service.predict(structure)
+                    t_parse0 = time.monotonic()
+                    try:
+                        structure = _parse_body_to_structure(
+                            body, ctype, cenc, max_body_bytes,
+                        )
+                    except Exception as e:  # noqa: BLE001 — client error
+                        self._send_json(
+                            400, {"error": f"unusable structure: {e}"})
+                        return
+                    parse_ms = (time.monotonic() - t_parse0) * 1e3
+                    with service._stats_lock:
+                        st = service.stats
+                        st["parse_ms_total"] = (
+                            st.get("parse_ms_total", 0.0) + parse_ms)
+                        st["parse_n"] = st.get("parse_n", 0) + 1
+                    probs, err, err_kind = service.predict(
+                        structure, reserved=True)
+                    handed_off = True
+                finally:
+                    if not handed_off:
+                        service.unreserve()
                 if err is not None:
                     # this item's fault (over-bucket/encode) -> 413;
                     # batch failure or timeout -> 503
                     self._send_json(413 if err_kind == "item" else 503,
                                     {"error": err})
                     return
+                t_ser0 = time.monotonic()
                 if want_pdb:
                     payload, out_ctype = (
                         _annotated_pdb(structure, probs[:, k]),
@@ -459,6 +581,12 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                         "probabilities": np.round(
                             np.asarray(probs, dtype=np.float64), 6).tolist(),
                     }).encode(), "application/json")
+                ser_ms = (time.monotonic() - t_ser0) * 1e3
+                with service._stats_lock:
+                    st = service.stats
+                    st["serialize_ms_total"] = (
+                        st.get("serialize_ms_total", 0.0) + ser_ms)
+                    st["serialize_n"] = st.get("serialize_n", 0) + 1
                 cache.put(ckey, (payload, out_ctype))
                 self._send(200, payload, ctype=out_ctype)
             finally:
@@ -488,6 +616,9 @@ def main(argv=None):
                         help="shorthand for --knn fast")
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    parser.add_argument("--max-queue", type=int, default=0,
+                        help="reject (429) when this many requests are "
+                             "parsing or queued; 0 = 4x max-batch")
     parser.add_argument("--max-body-mb", type=int, default=64,
                         help="reject request bodies larger than this (413)")
     parser.add_argument("--cache-entries", type=int, default=32,
@@ -540,7 +671,8 @@ def main(argv=None):
         pred.warmup()
 
     service = BatchingService(pred, max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms)
+                              max_wait_ms=args.max_wait_ms,
+                              max_queue=args.max_queue)
     server = make_server(service, host=args.host, port=args.port,
                          model_name=model_name,
                          max_body_bytes=args.max_body_mb << 20,

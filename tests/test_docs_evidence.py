@@ -100,3 +100,88 @@ def test_serving_load_table_matches_artifact():
         assert abs(float(p50) - r["p50_ms"]) < 1.0
         assert abs(float(p99) - r["p99_ms"]) < 1.0
         assert abs(float(mb) - r["mean_batch_size"]) < 0.05
+
+
+def _latest_bench():
+    import json
+
+    benches = sorted(REPO.glob("BENCH_r*.json"))
+    if not benches:
+        pytest.skip("no BENCH_r*.json committed")
+    data = json.load(open(benches[-1]))
+    parsed = data.get("parsed") or {}
+    if not parsed.get("detail"):
+        # some rounds store the JSON line only in "tail"
+        for line in reversed(data.get("tail", "").splitlines()):
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                break
+    if not parsed.get("detail"):
+        pytest.skip("latest BENCH file carries no parsed detail")
+    return parsed
+
+
+def test_readme_train_claims_match_bench():
+    """README's training throughput claims must track the latest BENCH
+    JSON (VERDICT round-4 weak 2: README said ~6x where the like-for-like
+    sustained number was ~1.6x). Relative tolerance covers run-to-run
+    noise; a wrong-number swap (4x off) still fails."""
+    parsed = _latest_bench()
+    det = parsed["detail"]
+    text = (REPO / "README.md").read_text()
+
+    m = re.search(r"\*\*~([\d.]+) structures/s\*\* sustained mixed", text)
+    assert m, "README.md no longer states the sustained mixed train rate"
+    mixed = det.get("train_mixed") or {}
+    if mixed.get("structures_per_sec"):
+        assert abs(float(m.group(1)) - mixed["structures_per_sec"]) \
+            <= 0.30 * mixed["structures_per_sec"]
+
+    m = re.search(r"1k-atom bucket alone runs ~([\d.]+)/s", text)
+    assert m, "README.md no longer states the 1k-bucket train rate"
+    sps_1k = det.get("train_1k_structures_per_sec") or det.get(
+        "train_structures_per_sec")
+    if sps_1k:
+        assert abs(float(m.group(1)) - sps_1k) <= 0.30 * sps_1k
+
+    m = re.search(r"~([\d.]+)× the reference's\s+~5/s", text)
+    assert m, "README.md no longer states the vs-V100 multiple"
+    if mixed.get("structures_per_sec"):
+        want = mixed["structures_per_sec"] / 5.0
+        assert abs(float(m.group(1)) - want) <= 0.30 * want
+
+
+def test_readme_headline_matches_bench():
+    """README's headline e2e number and multiple must divide parse-
+    inclusive by parse-inclusive (VERDICT round-4 weak 3)."""
+    parsed = _latest_bench()
+    det = parsed["detail"]
+    text = (REPO / "README.md").read_text()
+
+    m = re.search(r"\*\*~([\d,]+) atoms/s\*\* end-to-end from PDB files", text)
+    assert m, "README.md no longer states the parse-inclusive headline"
+    e2e_pdb = det.get("e2e_from_pdb_atoms_per_sec")
+    if e2e_pdb:
+        stated = float(m.group(1).replace(",", ""))
+        assert abs(stated - e2e_pdb) <= 0.30 * e2e_pdb
+
+    m = re.search(r"~([\d,]+)× the reference PyTorch implementation parsing", text)
+    assert m, "README.md no longer states the like-for-like multiple"
+    if e2e_pdb:
+        stated = float(m.group(1).replace(",", ""))
+        want = e2e_pdb / 36.6
+        assert abs(stated - want) <= 0.30 * want
+
+
+def test_coverage_doc_train_mixed_matches_bench():
+    """docs/COVERAGE.md's sustained-mixed figure must track BENCH
+    (VERDICT round-4 weak 2: COVERAGE said 9.2 where BENCH said 7.81)."""
+    parsed = _latest_bench()
+    mixed = (parsed["detail"].get("train_mixed") or {})
+    if not mixed.get("structures_per_sec"):
+        pytest.skip("latest BENCH has no train_mixed")
+    text = (REPO / "docs" / "COVERAGE.md").read_text()
+    m = re.search(r"sustained mixed ([\d.]+)/s", text)
+    assert m, "COVERAGE.md no longer states the sustained mixed rate"
+    assert abs(float(m.group(1)) - mixed["structures_per_sec"]) \
+        <= 0.30 * mixed["structures_per_sec"]

@@ -38,3 +38,39 @@ def test_pallas_model_path_matches_xla(monkeypatch):
         {"params": pp}, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask))(params)
 
     np.testing.assert_allclose(np.asarray(zx), np.asarray(zp), atol=5e-5, rtol=1e-4)
+
+
+def test_pallas_model_path_matches_xla_bf16(monkeypatch):
+    """bf16 parity for the all-bf16 streaming kernel (ADVICE round 4):
+    the f32 test above is a no-op for the bf16-stream code paths
+    (logits/softmax/wv scratch in the input dtype), and per project
+    history CPU-only f32 tests have hidden TPU-path bugs. Interpret
+    mode executes the same bf16 program off-chip; tolerance is loose
+    because bf16 has ~3 decimal digits."""
+    orig = geometric_pallas.fused_edge_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(geometric_pallas, "fused_edge_attention", interp)
+
+    base = get_config("i_v4_0", dtype="bfloat16", precision="default",
+                      remat=False)
+    layers = (base.layers[0], base.layers[12])
+    cfg_x = base.replace(layers=layers)
+    cfg_p = cfg_x.replace(pallas_edges=True)
+
+    params = init_params(cfg_x, na=256, nr=32)
+    ps = random_padded_structure(n_atoms=200, n_res=30, na=256, nr=32, seed=1)
+
+    zx = jax.jit(lambda pp: PestoModel(cfg_x).apply(
+        {"params": pp}, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask))(params)
+    zp = jax.jit(lambda pp: PestoModel(cfg_p).apply(
+        {"params": pp}, ps.X, ps.ids_topk, ps.q, ps.M, ps.atom_mask))(params)
+
+    zx = np.asarray(zx, dtype=np.float32)
+    zp = np.asarray(zp, dtype=np.float32)
+    # bf16 streams accumulate differently between the two programs;
+    # bound the drift rather than demand bit equality
+    np.testing.assert_allclose(zx, zp, atol=5e-2, rtol=5e-2)

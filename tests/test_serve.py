@@ -16,6 +16,16 @@ from pesto_tpu.models.pesto import init_params
 from pesto_tpu.serve import BatchingService, make_server
 
 PDB = "/root/reference/examples/dna_rna/1H9D.pdb"
+PDB1 = "/root/reference/examples/dna_rna/1H9D.pdb1"
+
+# the whole module drives the server with real example structures from
+# the read-only reference mount; skip (not hard-fail) when it is absent
+import os  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(PDB) and os.path.exists(PDB1)),
+    reason="reference example PDBs not mounted",
+)
 
 
 @pytest.fixture(scope="module")
@@ -215,7 +225,7 @@ def test_singleflight_dedups_concurrent_identical_requests(cached_server):
     so the LRU cache cannot help) must compute once: one leader runs the
     device path, followers wait on it and serve its cached bytes."""
     srv, service = cached_server
-    body = open("/root/reference/examples/dna_rna/1H9D.pdb1", "rb").read()
+    body = open(PDB1, "rb").read()
     before = service.snapshot()
     results = [None] * 4
 
@@ -236,3 +246,126 @@ def test_singleflight_dedups_concurrent_identical_requests(cached_server):
     # >=1 not >=3: a very fast leader can turn late arrivals into plain
     # cache hits — also a correct dedup, just via the other mechanism
     assert st["singleflight_waits"] >= 1
+
+
+def test_back_pressure_429_when_overloaded(cached_server):
+    """With the queue bound forced to zero, a non-cache-hit request must
+    be rejected 429 with Retry-After instead of queueing (round-5
+    serving-tail work: bounded queues convert overload into fast
+    retries)."""
+    srv, service = cached_server
+    body = open(PDB, "rb").read() + b"\nREMARK backpressure probe\n"
+    old = service.max_queue
+    service.max_queue = 0
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", srv.server_port,
+                                          timeout=60)
+        conn.request("POST", "/v1/predict", body=body)
+        r = conn.getresponse()
+        data = r.read()
+        assert r.status == 429
+        assert r.getheader("Retry-After") == "1"
+        assert b"capacity" in data
+        conn.close()
+    finally:
+        service.max_queue = old
+    assert service.snapshot()["rejected_429"] >= 1
+
+
+def test_cache_key_tracks_knn_method_mutation(cached_server):
+    """Flipping the live predictor's knn_method must not serve stale
+    cached responses computed under the old method (ADVICE round 4):
+    the method is part of the cache key."""
+    srv, service = cached_server
+    body = open(PDB, "rb").read() + b"\nREMARK knn-mutation probe\n"
+    s1, d1 = _post(srv, body)
+    assert s1 == 200
+    before = service.snapshot()["requests"]
+    s2, _ = _post(srv, body)  # cache hit: no new service request
+    assert s2 == 200
+    assert service.snapshot()["requests"] == before
+    old = service.predictor.knn_method
+    try:
+        service.predictor.knn_method = "fast"
+        s3, _ = _post(srv, body)  # different key -> recompute
+        assert s3 == 200
+        assert service.snapshot()["requests"] == before + 1
+    finally:
+        service.predictor.knn_method = old
+
+
+def test_stats_carry_stage_breakdown(cached_server):
+    """/v1/stats must expose the per-stage attribution (queue wait,
+    parse, serialize, predictor encode/device) the round-5 serving
+    analysis is built on."""
+    srv, service = cached_server
+    body = open(PDB, "rb").read() + b"\nREMARK stage probe\n"
+    assert _post(srv, body)[0] == 200
+    st = json.loads(_get(srv, "/v1/stats")[1])
+    assert st["parse_n"] >= 1 and st["parse_ms_total"] > 0
+    assert st["serialize_n"] >= 1
+    assert "mean_queue_wait_ms" in st
+    ps = st["predictor_stage_ms"]
+    assert ps["batch_calls"] >= 1
+    assert ps["record_encode"] > 0
+    assert ps["device_wait"] >= 0
+
+
+def test_response_cache_byte_budget():
+    """_ResponseCache bounds BYTES as well as entries (ADVICE round 4:
+    worst-case residency was entries x payload); an oversized payload
+    is never cached."""
+    from pesto_tpu.serve import _ResponseCache
+
+    c = _ResponseCache(max_entries=10, max_bytes=100)
+    c.put(("a",), (b"x" * 20, "t"))
+    c.put(("b",), (b"y" * 20, "t"))
+    c.put(("c",), (b"z" * 20, "t"))
+    assert c.get(("a",)) is not None  # 60 bytes: all fit
+    c.put(("d",), (b"w" * 25, "t"))  # 85 bytes: still fits ('a' was MRU'd)
+    c.put(("e",), (b"v" * 25, "t"))  # 110 -> evict LRU until <= 100
+    assert c._bytes <= 100
+    assert c.get(("e",)) is not None
+    # oversized single payload (> max_bytes // 4) is refused outright
+    c.put(("big",), (b"B" * 26, "t"))
+    assert c.get(("big",)) is None
+
+
+def test_collect_window_extends_for_midparse_arrivals():
+    """_collect must absorb an arrival that lands after max_wait_ms but
+    while a handler is mid-parse (reserve() held): the round-4 merge
+    plateau came from dispatching half-empty batches mid-burst."""
+    import time as _time
+
+    from pesto_tpu.serve import BatchingService, _Pending
+
+    class _Stub:
+        knn_method = "exact"
+
+    svc = BatchingService(_Stub(), max_batch=8, max_wait_ms=20.0)
+    # kill the internal batcher thread so we can drive _collect directly
+    svc._stop.set()
+    svc._q.put(None)
+    svc._thread.join(timeout=5)
+
+    svc.reserve()
+    svc._q.put(_Pending({"id": 1}))
+
+    def late_arrival():
+        _time.sleep(0.06)  # past the 20 ms base window
+        svc.predict_async = None  # no-op marker
+        svc._q.put(_Pending({"id": 2}))
+        svc.unreserve()
+
+    t = threading.Thread(target=late_arrival)
+    t.start()
+    batch = svc._collect()
+    t.join()
+    assert len(batch) == 2, "mid-parse arrival missed the batch"
+
+    # and WITHOUT a reserve, the base window still closes promptly
+    svc._q.put(_Pending({"id": 3}))
+    t0 = _time.monotonic()
+    batch = svc._collect()
+    assert len(batch) == 1
+    assert _time.monotonic() - t0 < 0.1
