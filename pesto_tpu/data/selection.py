@@ -5,10 +5,16 @@ import numpy as np
 
 
 def _normalize_sid(sid: str) -> str:
-    """Accept both selection-file formats: the reference's "1ABC_A"
-    (data/datasets/subunits_*.txt) and the dataset-key-derived
-    "1ABC_1_A:0" (pdbid_bid_chain:model) that split.py passes through —
-    the latter silently selected NOTHING before."""
+    """Accept all three selection-file formats: the reference's "1ABC_A"
+    (data/datasets/subunits_*.txt), the dataset-key-derived "1ABC_1_A:0"
+    (pdbid_bid_chain:model), and a full dataset key "AB/1ABC/1/A:0"
+    (data/build.py's metadata/keys layout) — the latter two silently
+    selected NOTHING before."""
+    sid = str(sid)
+    if "/" in sid:  # full dataset key
+        parts = sid.split("/")
+        chain = parts[3].split(":")[0] if len(parts) > 3 else ""
+        return f"{parts[1].upper()}_{chain}"
     parts = str(sid).split("_")
     if len(parts) == 1:
         return parts[0].upper()

@@ -25,12 +25,26 @@ def sid_to_cluster_map(clusters: Sequence[Sequence[str]]) -> Dict[str, int]:
     return {e.upper(): i for i, cluster in enumerate(clusters) for e in cluster}
 
 
+def _sid_pdbid_chain(sid: str) -> Tuple[str, str]:
+    """Dataset keys are "XX/PDBID/BID/CHAIN:MODEL" (data/build.py mirrors
+    processing/build_dataset.py:143-173's layout); legacy flat sids look
+    like "1ABC_1_A:0". A non-RCSB source file like "1AK4_C.pdb" yields
+    pdbid "1AK4_C" — map it to its 4-char entry id for cluster lookup."""
+    if "/" in sid:
+        parts = sid.split("/")
+        pdbid = parts[1]
+        chain = parts[3].split(":")[0] if len(parts) > 3 else ""
+    else:
+        parts = sid.split("_")
+        pdbid = parts[0]
+        chain = parts[-1].split(":")[0]
+    return pdbid.split("_")[0].upper(), chain
+
+
 def _sid_pdb_chain(sid: str) -> str:
-    """Dataset sids look like "1ABC_1_A:0" (pdbid_bid_chain:model); cluster
-    entries look like "1ABC_A". Map sid -> "1ABC_A"."""
-    parts = sid.split("_")
-    chain = parts[-1].split(":")[0]
-    return f"{parts[0].upper()}_{chain}"
+    """Map a dataset sid -> "1ABC_A" (the bc-30.out entry format)."""
+    pdbid, chain = _sid_pdbid_chain(sid)
+    return f"{pdbid}_{chain}"
 
 
 def split_dataset(
@@ -52,19 +66,20 @@ def split_dataset(
     cmap = sid_to_cluster_map(clusters)
 
     validation, by_cluster = [], {}
-    next_singleton = len(clusters)
     for sid in sids:
-        pdbid = sid.split("_")[0].upper()
+        pdbid, _ = _sid_pdbid_chain(sid)
         if pdbid in exclude:
             validation.append(sid)
             continue
         key = cmap.get(_sid_pdb_chain(sid))
         if key is None:
-            key = next_singleton
-            next_singleton += 1
+            # unclustered chains group per PDB ENTRY (not per sid): the
+            # subunits of one deposition share a structure, and scattering
+            # them across train/test leaks the complex's interface
+            key = f"pdb:{pdbid}"
         by_cluster.setdefault(key, []).append(sid)
 
-    cluster_ids = sorted(by_cluster)
+    cluster_ids = sorted(by_cluster, key=str)
     rng = np.random.RandomState(seed)
     rng.shuffle(cluster_ids)
 
@@ -72,7 +87,7 @@ def split_dataset(
     test_clusters = set(cluster_ids[:n_test])
 
     train, test = [], []
-    for cid in sorted(by_cluster):
+    for cid in sorted(by_cluster, key=str):
         (test if cid in test_clusters else train).extend(by_cluster[cid])
     return train, test, validation
 
