@@ -519,9 +519,14 @@ def main():
         # atoms_per_batch=16384 (the TrainConfig default) caps the 8k
         # bucket at B=2 so dots_nb fits EVERY bucket — the round-4
         # recipe (exp_train8k: 45% over full remat at the 8k bucket)
+        # compact=True is the production TrainConfig default for element-
+        # only models: q/M ship as [B,NA] int32 codes expanded on device
+        # instead of dense one-hots (the dense M alone is 33 MB per 8k
+        # structure of host pad + transfer per step)
         loader = BucketedLoader(
             ds, np.array([(a, r) for a, r in sizes]), atoms_per_batch=16384,
             max_batch=32, shuffle=True, seed=3, gather_tables=False,
+            compact=True,
         )
         jstep = jax.jit(raw_step8, donate_argnums=(0,))
         jeval = jax.jit(build_eval_step_fn(tcfg8))
@@ -539,21 +544,28 @@ def main():
         # reference's multi-day 4.6-5.1 structures/s (BASELINE.md)
         n_struct = len(sizes)
         EPOCHS = 17  # 6 loader batches/epoch at 16384 atoms -> 102 steps
-        t0 = time.perf_counter()
-        steps = 0
-        n_evals = 0
-        eval_out = None
-        for _epoch in range(EPOCHS):
-            for hb in loader:
-                st, out = jstep(st, jax.device_put(hb))
-                steps += 1
-            if steps % 48 == 0:  # epochs 8 and 16 at 6 batches/epoch
-                n_evals += 1
-                for hb in loader:
-                    eval_out = jeval(st, jax.device_put(hb))["loss"]
+        from pesto_tpu.train.checkpoint import AsyncCheckpointer
+
+        ckpt_async = AsyncCheckpointer()
         with tempfile.TemporaryDirectory() as ckdir:
-            save_checkpoint(ckdir, st)
-        _ = float(out["loss"])
+            t0 = time.perf_counter()
+            steps = 0
+            n_evals = 0
+            eval_out = None
+            for _epoch in range(EPOCHS):
+                for hb in loader:
+                    st, out = jstep(st, jax.device_put(hb))
+                    steps += 1
+                if steps % 48 == 0:  # epochs 8 and 16 at 6 batches/epoch
+                    n_evals += 1
+                    for hb in loader:
+                        eval_out = jeval(st, jax.device_put(hb))["loss"]
+                    # production cadence: checkpoint at the eval boundary,
+                    # write overlapped with the next epoch's train steps
+                    # (train/loop.py uses the same AsyncCheckpointer)
+                    ckpt_async.save(ckdir, st)
+            ckpt_async.wait()
+            _ = float(out["loss"])
         if eval_out is not None:
             # force the eval dispatches to complete before reading the
             # clock: syncing only the train-step buffers excluded the

@@ -75,12 +75,21 @@ def pad_structure_arrays(
     y: Optional[np.ndarray] = None,
     ids_topk_raw: Optional[np.ndarray] = None,
     num_nn: int = NUM_NN,
+    compact: bool = False,
 ) -> PaddedStructure:
     """Pad unpadded (X [n,3], q [n,F], M [n,r]) into a PaddedStructure.
 
     If ids_topk_raw (0-based raw neighbor ids, [n, k<=num_nn]) is given it
     is shifted into the padded/sink convention; otherwise ids are computed
     on device afterwards via compute_topology().
+
+    compact=True ships q and M as per-atom integer CODES ([NA] int32:
+    vocab index / residue index; sink+pad rows carry the out-of-range
+    code so jax.nn.one_hot yields their zero rows) instead of dense
+    one-hots — the model expands them on device (models/pesto.py compact
+    path). The dense M alone is NAxNR f32 (33 MB per 8k structure), the
+    dominant host pad + host->device transfer cost in training; valid
+    whenever q is a single vocabulary one-hot (element-only models).
     """
     n, r = X.shape[0], M.shape[1]
     na = na or pick_bucket(n + 1, ATOM_BUCKETS)
@@ -90,10 +99,18 @@ def pad_structure_arrays(
 
     Xp = np.zeros((na, 3), dtype=np.float32)
     Xp[1 : n + 1] = X
-    qp = np.zeros((na, q.shape[1]), dtype=np.float32)
-    qp[1 : n + 1] = q
-    Mp = np.zeros((na, nr), dtype=np.float32)
-    Mp[1 : n + 1, :r] = M
+    if compact:
+        # out-of-range codes (F / nr) one_hot to all-zero rows — exactly
+        # the dense padding; real rows have exactly one 1 by construction
+        qp = np.full(na, q.shape[1], dtype=np.int32)
+        qp[1 : n + 1] = np.argmax(q, axis=1)
+        Mp = np.full(na, nr, dtype=np.int32)
+        Mp[1 : n + 1] = np.argmax(M, axis=1)
+    else:
+        qp = np.zeros((na, q.shape[1]), dtype=np.float32)
+        qp[1 : n + 1] = q
+        Mp = np.zeros((na, nr), dtype=np.float32)
+        Mp[1 : n + 1, :r] = M
     am = np.zeros(na, dtype=np.float32)
     am[1 : n + 1] = 1.0
     rm = np.zeros(nr, dtype=np.float32)

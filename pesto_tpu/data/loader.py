@@ -10,7 +10,7 @@ constant (the reference is locked to batch_size=1 by raggedness).
 
 import queue
 import threading
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 
@@ -64,9 +64,11 @@ class BucketedLoader:
         process_count: int = 1,
         process_index: int = 0,
         gather_tables: bool = False,
+        gather_tables_max_na: Optional[int] = None,
         gather_u: int = 1024,
         num_workers: int = 0,
         worker_timeout: float = 600.0,
+        compact: bool = False,
     ):
         self.dataset = dataset
         self.worker_timeout = worker_timeout
@@ -120,7 +122,18 @@ class BucketedLoader:
             )
             gather_tables = False
         self.gather_tables = gather_tables
+        # tables only for buckets up to this atom count: the table einsum
+        # at the 8192 bucket crashes the remote compile (docs/MOSAIC_BUGS
+        # .md) and row-gather wins there anyway; None = all buckets
+        self.gather_tables_max_na = gather_tables_max_na
         self.gather_u = gather_u
+        # ship q/M as per-atom integer codes, expanded on device
+        # (models/pesto.py compact path): the dense M is NAxNR f32 — the
+        # dominant host pad + transfer cost. Valid only for single-
+        # vocabulary features (element-only models); the caller gates on
+        # sum(feature_flags) == 1. Buckets routed to gather tables keep
+        # the dense layout (sort_encoded_item operates on dense rows).
+        self.compact = compact
         # parse/decode/pad in num_workers forked processes (the reference
         # uses 8-16 DataLoader workers, model/main.py:37); 0 = a single
         # prefetch thread. Workers are created lazily on first iteration
@@ -182,9 +195,13 @@ class BucketedLoader:
             per = total // self.process_count
             slots = slots[self.process_index * per : (self.process_index + 1) * per]
 
+        use_tables = self.gather_tables and (
+            self.gather_tables_max_na is None or na <= self.gather_tables_max_na
+        )
+
         def load(i):
             X, ids_topk, q, M, y = self.dataset[i]
-            if self.gather_tables:
+            if use_tables:
                 import dataclasses as _dc
 
                 from ..spatial import build_gather_tables, sort_encoded_item
@@ -197,7 +214,8 @@ class BucketedLoader:
                 if cand is not None:
                     ps = _dc.replace(ps, gather_cand=cand, gather_loc=loc)
                 return ps
-            return pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk)
+            return pad_structure_arrays(X, q, M, na=na, nr=nr, y=y, ids_topk_raw=ids_topk,
+                                        compact=self.compact)
 
         padded, dummy = [], None
         for i in slots:

@@ -29,6 +29,75 @@ def save_checkpoint(ckpt_dir: str, state, step: Optional[int] = None, keep: int 
     return step
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint WRITES with training: the device->host snapshot
+    happens on the caller's thread (cheap; the caller is at a step
+    boundary anyway), the orbax write happens on one background worker so
+    the next train step dispatches immediately instead of waiting out the
+    filesystem (round-4 sustained-window ask: save_checkpoint sat inside
+    the step loop). One worker; saves to the same dir are naturally
+    serialized, a second save request while one is in flight queues.
+    Single-process only — multi-host orbax saves are collective across
+    processes and must stay synchronous (save_checkpoint)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._errors = []
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="pesto-ckpt-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            ckpt_dir, payload, step, keep = item
+            try:
+                import orbax.checkpoint as ocp
+
+                with ocp.CheckpointManager(
+                    ckpt_dir,
+                    options=ocp.CheckpointManagerOptions(max_to_keep=keep,
+                                                         create=True),
+                ) as mgr:
+                    mgr.save(step, args=ocp.args.StandardSave(payload))
+                    mgr.wait_until_finished()
+            except Exception as e:  # noqa: BLE001 — surfaced via .errors
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def save(self, ckpt_dir: str, state, step: Optional[int] = None,
+             keep: int = 3) -> int:
+        if jax.process_count() > 1:
+            return save_checkpoint(ckpt_dir, state, step=step, keep=keep)
+        step = int(state.global_step) if step is None else int(step)
+        payload = jax.device_get(state)  # snapshot NOW; train may mutate
+        self._q.put((os.path.abspath(ckpt_dir), payload, step, keep))
+        return step
+
+    @property
+    def errors(self):
+        return list(self._errors)
+
+    def wait(self):
+        """Block until all queued saves have been written."""
+        self._q.join()
+        if self._errors:
+            raise self._errors[0]
+
+    def close(self):
+        self._q.join()
+        self._q.put(None)
+        self._thread.join(timeout=30.0)
+        if self._errors:
+            raise self._errors[0]
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     import orbax.checkpoint as ocp
 

@@ -25,7 +25,7 @@ from ..data.selection import select_by_interface_types, select_by_max_ba, select
 from ..encoding import categ_to_resnames
 from ..metrics import bc_score_names, bc_scoring, nanmean
 from ..models import PestoConfig
-from .checkpoint import restore_checkpoint, save_checkpoint, save_config_snapshot
+from .checkpoint import AsyncCheckpointer, restore_checkpoint, save_config_snapshot
 from .logger import Logger
 from .state import create_train_state
 from .step import make_eval_step, make_train_step
@@ -76,6 +76,15 @@ class TrainConfig:
     # one-hot MXU gather tables (Morton-sorted layout); pairs with
     # PestoConfig.gather="auto"
     gather_tables: bool = True
+    # tables only for buckets up to this atom count: the table einsum at
+    # the 8192 bucket crashes the remote compile (docs/MOSAIC_BUGS.md)
+    # and row-gather wins there anyway
+    gather_tables_max_na: Optional[int] = 4096
+    # ship q/M as integer codes expanded on device (the dense M is NAxNR
+    # f32, the dominant host pad+transfer cost at 8k buckets). "auto":
+    # enabled when the model is single-vocabulary (element-only) —
+    # multi-vocab q concatenates several one-hots and has no single code
+    compact: str = "auto"
 
 
 def setup_dataset(tc: TrainConfig, selection_filepath: Optional[str], features_flags):
@@ -102,19 +111,21 @@ def _local_rows(p):
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
-def _per_structure_scores(batch, p):
-    """bc_scoring per structure in a padded batch (reference scores per
-    ragged batch, model/main.py:61-79). `batch` must be the process-LOCAL
-    host batch; `p` may be a global array (local rows are extracted)."""
+def _scores_from_arrays(y, rm, p):
+    """bc_scoring per structure from host copies of (y, res_mask, p)."""
     scores = []
-    y = np.asarray(batch.y)
-    rm = np.asarray(batch.res_mask)
-    p = _local_rows(p)
     for b in range(y.shape[0]):
         nr = int(rm[b].sum())
         if nr > 0:
             scores.append(bc_scoring(y[b, :nr], p[b, :nr]))
     return scores
+
+
+def _per_structure_scores(batch, p):
+    """bc_scoring per structure in a padded batch (reference scores per
+    ragged batch, model/main.py:61-79). `batch` must be the process-LOCAL
+    host batch; `p` may be a global array (local rows are extracted)."""
+    return _scores_from_arrays(np.asarray(batch.y), np.asarray(batch.res_mask), _local_rows(p))
 
 
 def _aggregate(results):
@@ -273,12 +284,14 @@ def train(
     # shard_batch assembles the global arrays from the process-local shards
     # via jax.make_array_from_process_local_data.
     n_proc, proc_id = jax.process_count(), jax.process_index()
+    compact = (sum(model_cfg.feature_flags) == 1) if tc.compact == "auto" else bool(tc.compact)
     loader_train = BucketedLoader(
         ds_train, ds_train.sizes_selected(),
         atoms_per_batch=tc.atoms_per_batch, max_batch=tc.max_batch,
         shuffle=True, seed=tc.seed, batch_multiple=batch_multiple,
         process_count=n_proc, process_index=proc_id,
         num_workers=tc.num_workers, gather_tables=tc.gather_tables,
+        gather_tables_max_na=tc.gather_tables_max_na, compact=compact,
     )
     loader_test = BucketedLoader(
         ds_test, ds_test.sizes_selected(),
@@ -286,6 +299,7 @@ def train(
         shuffle=False, seed=tc.seed, batch_multiple=batch_multiple,
         process_count=n_proc, process_index=proc_id,
         num_workers=tc.num_workers, gather_tables=tc.gather_tables,
+        gather_tables_max_na=tc.gather_tables_max_na, compact=compact,
     )
     if tc.use_mesh and n_dev > 1:
         from ..parallel import make_dp_train_step, make_dp_eval_step, make_mesh, replicate_state, shard_batch
@@ -318,28 +332,47 @@ def train(
     min_loss = _restore_min_loss(logger)
     if min_loss < 1e9:
         logger.print(f"> resumed best eval loss {min_loss:.4f}")
-    train_results = []
-    t_last, steps_last = time.time(), int(state.global_step)
+    # pending per-step outputs: scoring is DEFERRED to the log boundary so
+    # the hot loop never blocks on a device sync or host sklearn work —
+    # syncing per step (the round-4 shape) serializes host scoring into
+    # the device pipeline. Only (y, res_mask, losses, p) are retained
+    # (small: p is [B,NR,C]); device->host copies are started async.
+    pending = []
+    t_last = time.time()
+    global_step = steps_last = int(state.global_step)
+    ckpt = AsyncCheckpointer()
+
+    def drain_scores():
+        results = []
+        for y, rm, losses_d, p_d in pending:
+            results.append((np.asarray(losses_d), _scores_from_arrays(y, rm, _local_rows(p_d))))
+        pending.clear()
+        return _aggregate(results)
 
     try:
         for epoch in range(tc.num_epochs):
             for host_batch in loader_train:
                 batch = put(host_batch)
                 state, out = train_step(state, batch)
-                global_step = int(state.global_step)
-                train_results.append(
-                    (np.asarray(out["losses"]), _per_structure_scores(host_batch, out["p"]))
+                global_step += 1
+                losses_d, p_d = out["losses"], out["p"]
+                try:
+                    losses_d.copy_to_host_async()
+                    p_d.copy_to_host_async()
+                except Exception:
+                    pass  # non-addressable multi-host arrays: copy at drain
+                pending.append(
+                    (np.asarray(host_batch.y), np.asarray(host_batch.res_mask), losses_d, p_d)
                 )
 
                 if (global_step + 1) % tc.log_step == 0:
-                    scores = _aggregate(train_results)
-                    train_results = []
+                    scores = drain_scores()
                     dt = time.time() - t_last
                     sps = (global_step - steps_last) / max(dt, 1e-9)
                     t_last, steps_last = time.time(), global_step
                     scores["steps_per_sec"] = sps
                     _log_scores(logger, scores, global_step, state.pos_ratios, "train", tb_writer)
-                    save_checkpoint(ckpt_dir, state)
+                    ckpt.save(ckpt_dir, state)
 
                 if (global_step + 1) % tc.eval_step == 0:
                     scores, _ = run_eval(state, loader_test, eval_step, put, tc.eval_size)
@@ -347,10 +380,20 @@ def train(
                     if scores["loss"] <= min_loss:
                         min_loss = scores["loss"]
                         logger.print(f"> saving best model (loss {min_loss:.4f})")
-                        save_checkpoint(best_dir, state, keep=1)
+                        ckpt.save(best_dir, state, keep=1)
             logger.print(f"epoch {epoch + 1}/{tc.num_epochs} done")
     finally:
         # tear down forked worker pools so an exception (or normal return)
         # never leaves orphaned loader processes behind
         loader_train.close()
         loader_test.close()
+        # flush queued checkpoint writes; never mask an in-flight
+        # training exception with a writer error
+        import sys as _sys
+
+        try:
+            ckpt.close()
+        except Exception:
+            if _sys.exc_info()[0] is None:
+                raise
+            logger.print("WARNING: async checkpoint write failed during teardown")

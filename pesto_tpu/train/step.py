@@ -22,6 +22,7 @@ def _batched_forward(model, params, batch: PaddedStructure):
     z = model.apply(
         {"params": params}, batch.X, batch.ids_topk, batch.q, batch.M, batch.atom_mask,
         batch.gather_cand, batch.gather_loc,
+        nr=batch.res_mask.shape[-1],  # static; enables compact integer M
     )
     return z.astype(jnp.float32)
 

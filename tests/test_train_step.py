@@ -134,3 +134,69 @@ def test_edges_remat_policy_matches_full_remat_grads():
     assert results["full"][0] == pytest.approx(results["edges"][0], abs=1e-6)
     for a, b in zip(results["full"][1], results["edges"][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_compact_batch_matches_dense():
+    """Compact integer q/M codes (pad_structure_arrays(compact=True),
+    expanded on device at models/pesto.py:518-523) must produce the SAME
+    train step as the dense one-hot batch: identical loss and identical
+    updated params. This is the training-path guard for the serving-side
+    compact contract (the dense M is NAxNR f32, the dominant host->device
+    transfer; round-5 sustained-throughput work ships codes instead)."""
+
+    def _pair(seed, compact):
+        rng = np.random.RandomState(seed)
+        n, r, C = 50, 12, 5
+        X = (rng.rand(n, 3) * 20).astype(np.float32)
+        q = np.eye(30, dtype=np.float32)[rng.randint(0, 30, n)]
+        resid = np.sort(rng.randint(0, r, n))
+        resid[0] = 0
+        M = (resid[:, None] == np.arange(r)[None, :]).astype(np.float32)
+        y = (rng.rand(r, C) < 0.2).astype(np.float32)
+        dense = compute_topology(pad_structure_arrays(X, q, M, na=128, nr=32, y=y))
+        if not compact:
+            return dense
+        ps = pad_structure_arrays(X, q, M, na=128, nr=32, y=y, compact=True)
+        return dataclasses.replace(ps, ids_topk=dense.ids_topk)  # same topology
+
+    state0, tx = create_train_state(TINY, learning_rate=1e-3)
+    step = make_train_step(TINY, tx, donate=False)
+
+    bd = stack_batch([_pair(i, False) for i in range(2)])
+    bc = stack_batch([_pair(i, True) for i in range(2)])
+    assert bc.q.ndim == 2 and bc.M.ndim == 2  # codes, not one-hots
+    assert bc.q.dtype == np.int32 and bc.M.dtype == np.int32
+
+    sd, od = step(state0, bd)
+    sc, oc = step(state0, bc)
+    np.testing.assert_allclose(float(od["loss"]), float(oc["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(od["p"]), np.asarray(oc["p"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sd.params), jax.tree_util.tree_leaves(sc.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer writes must be restorable and identical to the
+    state snapshotted at save() time, even if training mutates the state
+    afterwards (the device_get snapshot happens on the caller thread)."""
+    from pesto_tpu.train.checkpoint import AsyncCheckpointer, restore_checkpoint
+
+    state, tx = create_train_state(TINY, learning_rate=1e-3)
+    step = make_train_step(TINY, tx, donate=False)
+    batch = stack_batch([_random_padded(3)])
+    state, _ = step(state, batch)
+    snap_step = int(state.global_step)
+    snap_leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+
+    ck = AsyncCheckpointer()
+    ck.save(str(tmp_path / "ck"), state)
+    # keep training while the write is in flight
+    state, _ = step(state, batch)
+    ck.wait()
+    ck.close()
+
+    restored = restore_checkpoint(str(tmp_path / "ck"), state)
+    assert int(restored.global_step) == snap_step
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]), snap_leaf, atol=0
+    )
