@@ -78,6 +78,127 @@ def cmd_build(args):
     print(f"stored {n} subunit entries")
 
 
+def _resseq(s):
+    """Residue resname sequence in resid order (the residue identity a
+    conformation shares with its bound chain)."""
+    import numpy as np
+
+    _, idx = np.unique(s["resid"], return_index=True)
+    return tuple(s["resname"][np.sort(idx)].tolist())
+
+
+def cmd_augment(args):
+    """Conformational augmentation: append the md_analysis unbound MD
+    cluster conformations (1AK4_uL_3_AUC78_N9.pdb etc., 547 single-chain
+    files) to an existing build, with interface labels TRANSFERRED from
+    the bound complex ({pdbid}_C.pdb) — the md_analysis ground-truth
+    protocol (apply_model_md.ipynb cell 6: labels = contacts of the bound
+    reference complex, geometry = the sampled conformation). Residue
+    correspondence is exact (same chain, same resid order; asserted by
+    resname-sequence identity), so the bound subunit's sparse Y quads
+    apply verbatim to the conformation's residue indexing.
+
+    This multiplies the mount's trainable data ~4x and teaches the model
+    conformational robustness — the property md_analysis benchmarks."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import h5py
+    import numpy as np
+
+    from pesto_tpu.data.build import (
+        DEFAULT_CONFIG,
+        pack_dataset_items,
+        pack_structure_data,
+        preprocess_for_build,
+        store_dataset_items,
+    )
+    from pesto_tpu.encoding import encode_features, encode_structure
+    from pesto_tpu.io import read_pdb
+    from pesto_tpu.structure import preprocess_structure
+    from pesto_tpu.topology import extract_all_contacts, extract_topology
+
+    confs = {}
+    for p in sorted(glob.glob(f"{REF}/md_analysis/pdbs_clusters/*.pdb")):
+        base = os.path.basename(p)
+        if base.endswith("_C.pdb"):
+            continue
+        confs.setdefault(base.split("_")[0], []).append(p)
+
+    n_added = n_skipped = 0
+    metadata_new = []
+    with h5py.File(args.h5, "a") as hf:
+        for pdbid, files in sorted(confs.items()):
+            cpath = f"{REF}/md_analysis/pdbs_clusters/{pdbid}_C.pdb"
+            if not os.path.exists(cpath):
+                continue
+            subunits = preprocess_for_build(read_pdb(cpath))
+            if subunits is None:
+                continue
+            contacts = extract_all_contacts(subunits, DEFAULT_CONFIG["r_thr"])
+            if not contacts:
+                continue
+            _, contacts_data = pack_dataset_items(
+                subunits, contacts, DEFAULT_CONFIG["molecule_ids"],
+                DEFAULT_CONFIG["max_num_nn"],
+            )
+            seqs = {cid: _resseq(subunits[cid]) for cid in contacts_data}
+            for j, fp in enumerate(files):
+                try:
+                    u_subunits = preprocess_structure(read_pdb(fp))
+                except Exception as e:
+                    print(f"ReadError: {fp}: {e}")
+                    n_skipped += 1
+                    continue
+                if len(u_subunits) != 1:
+                    n_skipped += 1
+                    continue
+                su = next(iter(u_subunits.values()))
+                useq = _resseq(su)
+                cid = next((c for c, s in seqs.items() if s == useq), None)
+                if cid is None or not contacts_data.get(cid):
+                    n_skipped += 1  # no exact residue correspondence
+                    continue
+                qe, qr, qn = encode_features(su)
+                X, M = encode_structure(su)
+                ids_topk, _, _ = extract_topology(X, DEFAULT_CONFIG["max_num_nn"])
+                conf_cid = f"{cid}:u{j}"
+                sdata = {conf_cid: pack_structure_data(X, qe, qr, qn, M, ids_topk)}
+                cdata = {conf_cid: dict(contacts_data[cid])}
+                for partner, (_, attrs) in contacts_data[cid].items():
+                    assert attrs["Y_shape"][0] == M.shape[1], (fp, cid)
+                metadata_new.extend(
+                    store_dataset_items(hf, pdbid, "1", sdata, cdata)
+                )
+                n_added += 1
+        if metadata_new:
+            keys = np.concatenate([
+                np.array(hf["metadata/keys"]).astype(np.dtype("U")),
+                np.array([m["key"] for m in metadata_new]),
+            ])
+            sizes = np.concatenate([
+                np.array(hf["metadata/sizes"]),
+                np.array([m["size"] for m in metadata_new]),
+            ])
+            ckeys = np.concatenate([
+                np.array(hf["metadata/ckeys"]).astype(np.dtype("U")),
+                np.array([m["ckey"] for m in metadata_new]),
+            ])
+            n_old = len(hf["metadata/keys"])
+            ctypes_new = np.stack(
+                np.where(np.array([m["ctype"] for m in metadata_new])), axis=1
+            ).astype(np.uint32)
+            ctypes_new[:, 0] += n_old  # row index into the extended table
+            ctypes = np.concatenate([np.array(hf["metadata/ctypes"]), ctypes_new])
+            for name, val in (
+                ("keys", keys.astype(np.bytes_)),
+                ("sizes", sizes),
+                ("ckeys", ckeys.astype(np.bytes_)),
+                ("ctypes", ctypes),
+            ):
+                del hf[f"metadata/{name}"]
+                hf[f"metadata/{name}"] = val
+    print(f"appended {n_added} conformation entries ({n_skipped} skipped) -> {args.h5}")
+
+
 def _pdbs_test_pdbids():
     ids = set()
     for p in glob.glob(f"{REF}/pdbs_test/*.pdb"):
@@ -109,10 +230,13 @@ def cmd_split(args):
         clusters = parse_clusters(f)
     cmap = sid_to_cluster_map(clusters)
 
-    def sid_entry(sid):  # "AK/1AK4_C/1/0:0" -> ("1AK4_C", "1AK4", "0")
+    def sid_entry(sid):  # "AK/1AK4_C/1/0:0" -> ("1AK4", "1AK4", "0")
+        # group by DEPOSITION (pdbid), not by file stem: augmented
+        # conformation entries ("1AK4") must stay on the same split side
+        # as their bound complex ("1AK4_C") — their labels ARE its labels
         parts = sid.split("/")
         chain = parts[3].split(":")[0] if len(parts) > 3 else ""
-        return parts[1], parts[1].split("_")[0].upper(), chain
+        return parts[1].split("_")[0].upper(), parts[1].split("_")[0].upper(), chain
 
     # union-find over complex entries, merged by shared bc-30 cluster
     parent = {}
@@ -201,6 +325,16 @@ def cmd_summarize(args):
         if a["type"] == b["type"] and b["step"] is not None
         and a["step"] is not None and b["step"] <= a["step"]
     )
+    # a CLEAN resume (kill between checkpoint and next log boundary)
+    # leaves monotonic steps in train.dat; the .log records it explicitly
+    reload_lines = []
+    try:
+        with open(os.path.join(args.run, "train.log")) as f:
+            reload_lines = [ln.strip() for ln in f
+                            if "Reloaded checkpoint at step" in ln]
+    except OSError:
+        pass
+    resumes = max(resumes, len(reload_lines))
     test_aucs = [e["auc_protein"] for e in entries
                  if e["type"] == "test" and e["auc_protein"] is not None]
     out = {
@@ -232,13 +366,16 @@ def main():
     s.add_argument("--outdir", default="/tmp/fs_sel")
     s.add_argument("--test-fraction", type=float, default=0.2)
     s.add_argument("--seed", type=int, default=1337)
+    a = sub.add_parser("augment")
+    a.add_argument("--h5", default="/tmp/from_scratch.h5")
     m = sub.add_parser("summarize")
     m.add_argument("--run", required=True)
     m.add_argument("--out", default="docs/artifacts/from_scratch_run.json")
     m.add_argument("--extra", default=None,
                    help="optional pdbs_test benchmark JSON to embed")
     args = ap.parse_args()
-    {"build": cmd_build, "split": cmd_split, "summarize": cmd_summarize}[args.cmd](args)
+    {"build": cmd_build, "split": cmd_split, "augment": cmd_augment,
+     "summarize": cmd_summarize}[args.cmd](args)
 
 
 if __name__ == "__main__":

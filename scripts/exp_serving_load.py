@@ -49,14 +49,24 @@ def run_load(port, bodies, n_clients, n_requests):
     lat = [None] * n_requests
     errs = []
 
+    retries_429 = [0]
+
     def one(i):
         body = bodies[i % len(bodies)]
         t0 = time.perf_counter()
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-        conn.request("POST", "/v1/predict", body=body)
-        r = conn.getresponse()
-        data = r.read()
-        conn.close()
+        while True:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("POST", "/v1/predict", body=body)
+            r = conn.getresponse()
+            data = r.read()
+            conn.close()
+            if r.status == 429:
+                # back-pressure contract: fast retry after a short pause;
+                # latency keeps accruing so the tail stays honest
+                retries_429[0] += 1
+                time.sleep(0.02)
+                continue
+            break
         lat[i] = time.perf_counter() - t0
         if r.status != 200:
             errs.append(f"HTTP {r.status}: {data[:120]}")
@@ -76,8 +86,51 @@ def run_load(port, bodies, n_clients, n_requests):
         "requests_per_sec": round(n_requests / wall, 2),
         "p50_ms": round(p50 * 1e3, 1),
         "p99_ms": round(p99 * 1e3, 1),
+        "p99_over_p50": round(p99 / max(p50, 1e-9), 2),
+        "client_retries_429": retries_429[0],
         "wall_sec": round(wall, 2),
     }
+
+
+def _stage_delta(before, after, n_requests, n_batches):
+    """Per-request stage attribution for one measured window (VERDICT r4
+    ask 1a): queue-wait / parse / serialize / device-batch means from the
+    /v1/stats counter deltas, plus predictor-internal stage means."""
+    d = lambda k: after.get(k, 0) - before.get(k, 0)  # noqa: E731
+    out = {
+        "mean_queue_wait_ms": round(d("queue_wait_ms_total") / max(n_requests, 1), 1),
+        "mean_parse_ms": round(d("parse_ms_total") / max(d("parse_n"), 1), 1),
+        "mean_serialize_ms": round(d("serialize_ms_total") / max(d("serialize_n"), 1), 1),
+        "mean_batch_service_ms": round(d("batch_ms_total") / max(n_batches, 1), 1),
+    }
+    pb, pa = before.get("predictor_stage_ms", {}), after.get("predictor_stage_ms", {})
+    for k in pa:
+        out[f"predictor_{k}_ms_per_batch"] = round(
+            (pa[k] - pb.get(k, 0)) / max(n_batches, 1), 1)
+    return out
+
+
+def measured_window(service, port, bodies, n_clients, n_requests, method):
+    """One load window with stats-snapshot deltas folded into the row."""
+    before = service.snapshot()
+    row = run_load(port, bodies, n_clients, n_requests)
+    after = service.snapshot()
+    nb = after["batches"] - before["batches"]
+    ni = after["batched_items"] - before["batched_items"]
+    row.update({
+        "knn_method": method,
+        "mean_batch_size": round(ni / max(nb, 1), 2),
+        # per-WINDOW delta, not the cumulative counter
+        "knn_fallbacks": (after.get("knn_fallbacks", 0)
+                          - before.get("knn_fallbacks", 0)),
+        "rejected_429": after.get("rejected_429", 0) - before.get("rejected_429", 0),
+        "stages": _stage_delta(before, after, row["requests"], nb),
+    })
+    log(f"{method:6s} x{n_clients:2d} clients: "
+        f"{row['requests_per_sec']:6.2f} req/s  "
+        f"p50 {row['p50_ms']:7.1f} ms  p99 {row['p99_ms']:7.1f} ms  "
+        f"batch {row['mean_batch_size']:.2f}  stages {row['stages']}")
+    return row
 
 
 def main():
@@ -103,7 +156,8 @@ def main():
     jax.block_until_ready(params)
 
     results = {"device": str(jax.devices()[0]), "config": "i_v4_1 bf16",
-               "max_batch": 16, "max_wait_ms": 20.0, "rows": []}
+               "max_batch": 16, "max_wait_ms": 20.0, "rows": [],
+               "sweep_rows": []}
     n_req_base = 32 if args.quick else 96
 
     # the buckets + power-of-two chunk sizes the bodies will hit: warm
@@ -157,25 +211,39 @@ def main():
             # the 8-client pre-pass only exercises merged-batch shapes
             run_load(port, bodies, 1, len(bodies))
             for n_clients in (1, 4, 16):
-                before = service.snapshot()
-                row = run_load(port, bodies, n_clients,
-                               max(n_req_base // (4 if n_clients == 1 else 1),
-                                   n_clients * 2))
-                after = service.snapshot()
-                nb = after["batches"] - before["batches"]
-                ni = after["batched_items"] - before["batched_items"]
-                row.update({
-                    "knn_method": method,
-                    "mean_batch_size": round(ni / max(nb, 1), 2),
-                    # per-WINDOW delta, not the cumulative counter
-                    "knn_fallbacks": (after.get("knn_fallbacks", 0)
-                                      - before.get("knn_fallbacks", 0)),
-                })
+                row = measured_window(service, port, bodies, n_clients,
+                                      max(n_req_base // (4 if n_clients == 1 else 1),
+                                          n_clients * 2), method)
                 results["rows"].append(row)
-                log(f"{method:6s} x{n_clients:2d} clients: "
-                    f"{row['requests_per_sec']:6.2f} req/s  "
-                    f"p50 {row['p50_ms']:7.1f} ms  p99 {row['p99_ms']:7.1f} ms  "
-                    f"batch {row['mean_batch_size']:.2f}")
+        finally:
+            srv.shutdown()
+            service.close()
+
+    # knob sweep (VERDICT r4 ask 1b): max_batch x max_wait_ms x clients on
+    # the production-default exact method; each point gets its own service
+    # (fresh counters) over the SAME warmed predictor
+    pred = Predictor(cfg, params, knn_method="exact")
+    for na, nr in warm_pairs:
+        bs = tuple(b for b in (1, 2, 4, 8, 16) if b * na <= 32768)
+        pred.warmup(buckets=[(na, nr)], batch_sizes=bs)
+    sweep_points = [(16, 20.0), (32, 20.0), (32, 10.0), (64, 10.0)]
+    client_counts = (16, 32) if args.quick else (16, 32, 64)
+    for max_batch, max_wait in sweep_points:
+        service = BatchingService(pred, max_batch=max_batch,
+                                  max_wait_ms=max_wait)
+        srv = make_server(service, host="127.0.0.1", port=0,
+                          model_name="bench", max_body_bytes=64 << 20,
+                          cache_entries=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        port = srv.server_port
+        try:
+            run_load(port, bodies, 8, 2 * len(bodies))  # warm merge shapes
+            for n_clients in client_counts:
+                row = measured_window(service, port, bodies, n_clients,
+                                      max(n_req_base, n_clients * 3), "exact")
+                row.update({"max_batch": max_batch, "max_wait_ms": max_wait})
+                results["sweep_rows"].append(row)
         finally:
             srv.shutdown()
             service.close()
