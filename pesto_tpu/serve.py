@@ -593,7 +593,16 @@ def make_server(service: BatchingService, host: str = "127.0.0.1",
                 if is_leader:
                     flight.done(ckey)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # listen backlog: the socketserver default of 5 drops connections
+        # under burst concurrency (64 clients connecting at once establish
+        # in the kernel SYN queue, never reach accept(), and get RST a few
+        # seconds later — the client sees ConnectionResetError on a socket
+        # it successfully wrote to). Deep enough for any plausible
+        # client-burst; accepted-but-unread sockets cost only an fd.
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
 
 
 def main(argv=None):

@@ -68,7 +68,8 @@ def collect_pool():
 
 
 def cmd_build(args):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-pure (see augment)
     from pesto_tpu.data.build import build_dataset_h5
 
     pool = collect_pool()
@@ -100,7 +101,13 @@ def cmd_augment(args):
 
     This multiplies the mount's trainable data ~4x and teaches the model
     conformational robustness — the property md_analysis benchmarks."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # CPU-pure: extract_topology jits, and the sitecustomize-registered
+    # device plugin routes compiles through the remote tunnel even under
+    # JAX_PLATFORMS=cpu — a concurrent chip user (or an unhealthy tunnel)
+    # then kills this host-only job mid-append (observed round 5). Scrub
+    # the plugin trigger BEFORE anything imports jax.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     import h5py
     import numpy as np
 
@@ -217,7 +224,8 @@ def cmd_split(args):
     The reference splits subunit-wise at 300k-subunit scale
     (split_dataset.ipynb -> data/split.py); complex-level is the same
     logic with a stricter grouping that tiny data requires."""
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # CPU-pure (see augment)
     import h5py
     import numpy as np
 

@@ -51,13 +51,27 @@ def run_load(port, bodies, n_clients, n_requests):
 
     retries_429 = [0]
 
+    conn_retries = [0]
+
     def one(i):
         body = bodies[i % len(bodies)]
         t0 = time.perf_counter()
         while True:
             conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-            conn.request("POST", "/v1/predict", body=body)
-            r = conn.getresponse()
+            try:
+                conn.request("POST", "/v1/predict", body=body)
+                r = conn.getresponse()
+            except (ConnectionResetError, ConnectionRefusedError,
+                    http.client.RemoteDisconnected):
+                # transient connect-level failure (e.g. an accept-queue
+                # drop): retry like a production client, but COUNT it so
+                # the artifact stays honest; latency keeps accruing
+                conn.close()
+                conn_retries[0] += 1
+                if conn_retries[0] > 3 * n_requests:
+                    raise
+                time.sleep(0.02)
+                continue
             data = r.read()
             conn.close()
             if r.status == 429:
@@ -88,6 +102,7 @@ def run_load(port, bodies, n_clients, n_requests):
         "p99_ms": round(p99 * 1e3, 1),
         "p99_over_p50": round(p99 / max(p50, 1e-9), 2),
         "client_retries_429": retries_429[0],
+        "client_conn_retries": conn_retries[0],
         "wall_sec": round(wall, 2),
     }
 

@@ -369,3 +369,49 @@ def test_collect_window_extends_for_midparse_arrivals():
     batch = svc._collect()
     assert len(batch) == 1
     assert _time.monotonic() - t0 < 0.1
+
+
+def test_listen_backlog_survives_burst_connects():
+    """make_server must carry a deep listen backlog: socketserver's
+    default of 5 drops burst connections (64 clients connecting at once
+    overflow the accept queue; the kernel RSTs sockets the client already
+    wrote to — reproduced as ConnectionResetError in the round-5 load
+    sweep's 64-client windows)."""
+    import http.client
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    class _Stub:
+        knn_method = "exact"
+
+        def predict_batch(self, structures, **kw):
+            _time.sleep(0.01)
+            return [
+                np.zeros((max(len(set(s["resid"])), 1), 5), dtype=np.float32)
+                for s in structures
+            ]
+
+    svc = BatchingService(_Stub(), max_batch=16, max_wait_ms=5.0)
+    srv = make_server(svc, host="127.0.0.1", port=0, model_name="t",
+                      max_body_bytes=1 << 20, cache_entries=0)
+    assert srv.request_queue_size >= 64
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_port
+    with open(PDB, "rb") as f:
+        body = f.read()
+
+    def one(_):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/v1/predict", body=body)
+        r = conn.getresponse()
+        r.read()
+        conn.close()
+        return r.status
+
+    try:
+        with ThreadPoolExecutor(64) as pool:
+            statuses = list(pool.map(one, range(128)))
+        assert all(s in (200, 429) for s in statuses), statuses
+    finally:
+        srv.shutdown()
+        svc.close()
