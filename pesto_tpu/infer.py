@@ -45,6 +45,7 @@ class Predictor:
         # exposed via serve.py /v1/stats and a predict_batch log line.
         # Lock because concurrent predict_batch callers (serve.py handler
         # threads) increment it and '+=' is not atomic under threading.
+        import queue as _queue
         import threading as _threading
 
         self.knn_fallback_count = 0
@@ -57,6 +58,16 @@ class Predictor:
         # aids, not a wall-clock decomposition.
         self.stage_ms = {"record_encode": 0.0, "batch_encode": 0.0,
                          "device_wait": 0.0, "batch_calls": 0}
+        # predict_batch runs CONCURRENTLY from multiple service threads
+        # (serve.py overlaps batch N+1's host encode with batch N's
+        # device wait — the round-5 single-thread batcher ceiling), so
+        # the timers get their own lock and each call checks a private
+        # BatchEncoder out of a small idle pool instead of sharing one.
+        self._stage_lock = _threading.Lock()
+        self._enc_pool: "queue.Queue" = _queue.Queue()
+        # created eagerly: two concurrent first calls racing the lazy
+        # `self._knn_jit = {}` would drop one thread's cached compile
+        self._knn_jit: dict = {}
         self.mesh = mesh  # data-parallel serving over a device mesh
         if mesh is None:
             # commit the parameters to the device ONCE: numpy params (the
@@ -422,27 +433,38 @@ class Predictor:
 
         from .batching import BatchEncoder
 
-        pool = ThreadPoolExecutor(num_threads)
-        # one predict_batch at a time per Predictor: the BatchEncoder's
-        # buffered host arrays are reused across chunks, so two concurrent
-        # calls would overwrite each other's staging buffers
-        with self._pb_lock:
-            # the encoder must rotate depth+1 buffer sets: a consumer
-            # holding `depth` pending chunks re-encodes into chunk
-            # k-depth's slot otherwise, overwriting buffers the CPU
-            # backend may still alias into the in-flight computation
-            need_sets = max(2, int(pipeline_depth) + 1)
-            enc = getattr(self, "_batch_encoder", None)
-            if enc is None or enc.n_sets < need_sets:
-                if enc is not None:
-                    enc.close()
-                self._batch_encoder = BatchEncoder(num_threads, n_sets=need_sets)
-            return self._predict_batch_locked(
-                structures, atoms_per_call, pool, pipeline_depth
-            )
+        import queue as _queue
 
-    def _predict_batch_locked(self, structures, atoms_per_call, pool,
-                              pipeline_depth):
+        pool = ThreadPoolExecutor(num_threads)
+        # concurrent predict_batch calls are supported (serve.py runs two
+        # batcher threads so batch N+1's host encode overlaps batch N's
+        # device wait); each call checks a PRIVATE BatchEncoder out of an
+        # idle pool — the encoder's buffered host arrays are reused across
+        # chunks, so two calls sharing one would overwrite each other's
+        # staging buffers. The encoder must rotate depth+1 buffer sets: a
+        # consumer holding `depth` pending chunks re-encodes into chunk
+        # k-depth's slot otherwise, overwriting buffers the CPU backend
+        # may still alias into the in-flight computation.
+        need_sets = max(2, int(pipeline_depth) + 1)
+        enc = None
+        try:
+            enc = self._enc_pool.get_nowait()
+            if enc.n_sets < need_sets:
+                enc.close()
+                enc = None
+        except _queue.Empty:
+            pass
+        if enc is None:
+            enc = BatchEncoder(num_threads, n_sets=need_sets)
+        try:
+            return self._predict_batch_impl(
+                structures, atoms_per_call, pool, pipeline_depth, enc
+            )
+        finally:
+            self._enc_pool.put(enc)
+
+    def _predict_batch_impl(self, structures, atoms_per_call, pool,
+                            pipeline_depth, batch_encoder):
         from collections import deque
 
         import jax
@@ -478,11 +500,10 @@ class Predictor:
 
             _t0 = _time.perf_counter()
             recs = list(pool.map(host_encode_safe, enumerate(structures)))
-            # stage timers: _pb_lock serializes predict_batch, so these
-            # accumulate without their own lock
-            self.stage_ms["record_encode"] += (
-                (_time.perf_counter() - _t0) * 1e3)
-            self.stage_ms["batch_calls"] += 1
+            with self._stage_lock:
+                self.stage_ms["record_encode"] += (
+                    (_time.perf_counter() - _t0) * 1e3)
+                self.stage_ms["batch_calls"] += 1
             buckets: Dict[tuple, list] = {}
             for i, rec in enumerate(recs):
                 if rec is None:
@@ -509,12 +530,13 @@ class Predictor:
                 without a host sync, so later chunks' host encodes overlap
                 this chunk's device execution."""
                 _te = _time.perf_counter()
-                batch = self._batch_encoder.encode(
+                batch = batch_encoder.encode(
                     [recs[i] for i in chunk], na=na, nr=nr, spatial_sort=True,
                     n_features=self.cfg.em_n0,
                 )
-                self.stage_ms["batch_encode"] += (
-                    (_time.perf_counter() - _te) * 1e3)
+                with self._stage_lock:
+                    self.stage_ms["batch_encode"] += (
+                        (_time.perf_counter() - _te) * 1e3)
                 if self.use_gather_tables:
                     # one-hot gather tables need the kNN ids on the host;
                     # this path keeps the separate-kNN pipeline
@@ -557,8 +579,9 @@ class Predictor:
                 probs_dev, ovf_dev = res_dev
                 _tc = _time.perf_counter()
                 probs = np.asarray(probs_dev)
-                self.stage_ms["device_wait"] += (
-                    (_time.perf_counter() - _tc) * 1e3)
+                with self._stage_lock:
+                    self.stage_ms["device_wait"] += (
+                        (_time.perf_counter() - _tc) * 1e3)
                 if ovf_dev is not None and bool(np.any(np.asarray(ovf_dev))):
                     # exact2/pallas candidate overflow: the chunk silently
                     # re-ran the exact path — still exact, but worth a

@@ -69,7 +69,7 @@ class BatchingService:
     thread until its batch is served."""
 
     def __init__(self, predictor, max_batch: int = 16, max_wait_ms: float = 20.0,
-                 max_queue: int = 0):
+                 max_queue: int = 0, n_threads: int = 2):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -95,9 +95,22 @@ class BatchingService:
             "queue_wait_ms_total": 0.0, "rejected_429": 0,
         }
         self._stats_lock = threading.Lock()
-        self._thread = threading.Thread(target=self._run, daemon=True,
-                                        name="pesto-batcher")
-        self._thread.start()
+        # two batcher threads by default: predict_batch starts with a
+        # serial host record-encode head (~110 ms for a 32-item batch)
+        # before its internal chunk pipeline, so a single batcher thread
+        # caps throughput at 1/(encode+device) per batch — the round-5
+        # load sweep measured exactly that ceiling (batch_service
+        # ~1557 ms/batch of 32 = 20.5 req/s). A second thread encodes
+        # batch N+1 while batch N waits on the device (predict_batch is
+        # concurrency-safe: per-call encoder checkout, locked timers).
+        self.n_threads = max(1, int(n_threads))
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True,
+                             name=f"pesto-batcher-{i}")
+            for i in range(self.n_threads)
+        ]
+        for t in self._threads:
+            t.start()
 
     # -- back-pressure / arrival tracking ---------------------------------
     def overloaded(self) -> bool:
@@ -117,8 +130,10 @@ class BatchingService:
 
     def close(self):
         self._stop.set()
-        self._q.put(None)  # wake the drain
-        self._thread.join(timeout=10.0)
+        for _ in self._threads:
+            self._q.put(None)  # wake each drain
+        for t in self._threads:
+            t.join(timeout=10.0)
 
     def predict(self, structure, timeout_s: float = 300.0,
                 reserved: bool = False):
@@ -625,6 +640,9 @@ def main(argv=None):
                         help="shorthand for --knn fast")
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    parser.add_argument("--service-threads", type=int, default=2,
+                        help="batcher threads; 2 overlaps batch N+1's "
+                             "host encode with batch N's device wait")
     parser.add_argument("--max-queue", type=int, default=0,
                         help="reject (429) when this many requests are "
                              "parsing or queued; 0 = 4x max-batch")
@@ -681,7 +699,8 @@ def main(argv=None):
 
     service = BatchingService(pred, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms,
-                              max_queue=args.max_queue)
+                              max_queue=args.max_queue,
+                              n_threads=args.service_threads)
     server = make_server(service, host=args.host, port=args.port,
                          model_name=model_name,
                          max_body_bytes=args.max_body_mb << 20,

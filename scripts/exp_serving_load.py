@@ -132,9 +132,14 @@ def measured_window(service, port, bodies, n_clients, n_requests, method):
     after = service.snapshot()
     nb = after["batches"] - before["batches"]
     ni = after["batched_items"] - before["batched_items"]
+    atoms = after.get("atoms", 0) - before.get("atoms", 0)
     row.update({
         "knn_method": method,
         "mean_batch_size": round(ni / max(nb, 1), 2),
+        # the like-for-like capacity number: HTTP-side atoms/s vs the
+        # chip's parse-inclusive predict_batch rate (BENCH e2e_from_pdb)
+        "atoms": atoms,
+        "atoms_per_sec": round(atoms / max(row["wall_sec"], 1e-9), 1),
         # per-WINDOW delta, not the cumulative counter
         "knn_fallbacks": (after.get("knn_fallbacks", 0)
                           - before.get("knn_fallbacks", 0)),
@@ -142,7 +147,8 @@ def measured_window(service, port, bodies, n_clients, n_requests, method):
         "stages": _stage_delta(before, after, row["requests"], nb),
     })
     log(f"{method:6s} x{n_clients:2d} clients: "
-        f"{row['requests_per_sec']:6.2f} req/s  "
+        f"{row['requests_per_sec']:6.2f} req/s = "
+        f"{row['atoms_per_sec']:8.0f} atoms/s  "
         f"p50 {row['p50_ms']:7.1f} ms  p99 {row['p99_ms']:7.1f} ms  "
         f"batch {row['mean_batch_size']:.2f}  stages {row['stages']}")
     return row

@@ -124,8 +124,8 @@ def test_predict_batch_isolates_malformed_structures(capsys):
 
 def test_predict_batch_concurrent_calls_are_safe():
     """Two threads sharing one Predictor must not corrupt each other via
-    the reused BatchEncoder staging buffers (predict_batch serializes on
-    a per-Predictor lock)."""
+    the reused BatchEncoder staging buffers (each predict_batch call
+    checks a private encoder out of the Predictor's idle pool)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pesto_tpu.infer import Predictor
@@ -168,7 +168,8 @@ def test_predict_batch_deep_pipeline_buffer_rotation():
     recs = [random_structure_record(n_atoms=40, n_res=8, seed=i) for i in range(8)]
     want = [pred.predict_structure(dict(r)) for r in recs]
     got = pred.predict_batch(recs, atoms_per_call=64, pipeline_depth=2)
-    assert pred._batch_encoder.n_sets >= 3
+    # the call's encoder is checked back into the idle pool on return
+    assert pred._enc_pool.get_nowait().n_sets >= 3
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
 
@@ -245,3 +246,36 @@ def test_predict_batch_honors_knn_method_mutation(monkeypatch):
     )
     for x, y in zip(a, b):
         assert x.shape == y.shape
+
+
+def test_predict_batch_concurrent_calls_parity():
+    """Two predict_batch calls racing from separate threads (the serve.py
+    two-batcher overlap) must each return the same probabilities as a
+    serial call: per-call BatchEncoder checkout means neither call's
+    staging buffers are overwritten by the other."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.synthetic import random_structure_record
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+    recs_a = [random_structure_record(n_atoms=40, n_res=8, seed=i) for i in range(6)]
+    recs_b = [random_structure_record(n_atoms=52, n_res=9, seed=100 + i) for i in range(6)]
+    want_a = pred.predict_batch(recs_a, atoms_per_call=64, pipeline_depth=2)
+    want_b = pred.predict_batch(recs_b, atoms_per_call=64, pipeline_depth=2)
+
+    for _ in range(3):  # repeated races
+        with ThreadPoolExecutor(2) as tp:
+            fa = tp.submit(pred.predict_batch, recs_a, 64)
+            fb = tp.submit(pred.predict_batch, recs_b, 64)
+            got_a, got_b = fa.result(), fb.result()
+        for g, w in zip(got_a, want_a):
+            np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
+        for g, w in zip(got_b, want_b):
+            np.testing.assert_allclose(g, w, atol=2e-5, rtol=2e-5)
+    # both encoders retired to the idle pool
+    assert pred._enc_pool.qsize() >= 1

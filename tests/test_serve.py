@@ -343,10 +343,12 @@ def test_collect_window_extends_for_midparse_arrivals():
         knn_method = "exact"
 
     svc = BatchingService(_Stub(), max_batch=8, max_wait_ms=20.0)
-    # kill the internal batcher thread so we can drive _collect directly
+    # kill the internal batcher threads so we can drive _collect directly
     svc._stop.set()
-    svc._q.put(None)
-    svc._thread.join(timeout=5)
+    for _ in svc._threads:
+        svc._q.put(None)
+    for _t in svc._threads:
+        _t.join(timeout=5)
 
     svc.reserve()
     svc._q.put(_Pending({"id": 1}))
