@@ -133,6 +133,27 @@ def cmd_augment(args):
     n_added = n_skipped = 0
     metadata_new = []
     with h5py.File(args.h5, "a") as hf:
+        # Idempotence: metadata is extended only at the END of the append,
+        # so a run killed mid-append (observed round 5: a concurrent chip
+        # user took down this host-only job) leaves conformation groups
+        # (":u" keys) with no metadata row. Purge such orphans so the
+        # augment can be re-run on the same file.
+        known = {k.decode() for k in hf["metadata/keys"][()]}
+        orphans = []
+        for g2 in hf["data/structures"]:
+            for pid in hf[f"data/structures/{g2}"]:
+                for bid in hf[f"data/structures/{g2}/{pid}"]:
+                    for cid in hf[f"data/structures/{g2}/{pid}/{bid}"]:
+                        key = f"{g2}/{pid}/{bid}/{cid}"
+                        if ":u" in cid and key not in known:
+                            orphans.append(key)
+        for key in orphans:
+            del hf[f"data/structures/{key}"]
+            if f"data/contacts/{key}" in hf:
+                del hf[f"data/contacts/{key}"]
+        if orphans:
+            print(f"purged {len(orphans)} orphan conformation groups "
+                  "from an interrupted append")
         for pdbid, files in sorted(confs.items()):
             cpath = f"{REF}/md_analysis/pdbs_clusters/{pdbid}_C.pdb"
             if not os.path.exists(cpath):
