@@ -638,8 +638,14 @@ def main(argv=None):
                              "why exact2 lost its default slot)")
     parser.add_argument("--fast-knn", action="store_true",
                         help="shorthand for --knn fast")
-    parser.add_argument("--max-batch", type=int, default=16)
-    parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    # Defaults from the round-5 concurrent-load sweep
+    # (docs/artifacts/serving_load.json sweep_rows): (32, 10 ms) is at or
+    # near the best measured req/s at 16/32/64 clients (15.8/18.4/20.1)
+    # where the old (16, 20 ms) collapsed to 9.6 at 32 clients; the
+    # adaptive collect window dispatches early on a full batch, so the
+    # larger cap costs nothing at low concurrency.
+    parser.add_argument("--max-batch", type=int, default=32)
+    parser.add_argument("--max-wait-ms", type=float, default=10.0)
     parser.add_argument("--service-threads", type=int, default=2,
                         help="batcher threads; 2 overlaps batch N+1's "
                              "host encode with batch N's device wait")
