@@ -50,6 +50,12 @@ def main(argv=None):
     parser.add_argument("testdir", help="directory with X.pdb / X_T.pdb golden pairs")
     parser.add_argument("--model", default="i_v4_0")
     parser.add_argument("--ckpt", default="/root/reference/model/save/i_v4_0_2021-09-07_11-20/model.pt")
+    parser.add_argument("--orbax-ckpt", default=None,
+                        help="benchmark a model trained HERE: an orbax "
+                             "checkpoint dir from train_cli (e.g. "
+                             "<run>/best); overrides --ckpt")
+    parser.add_argument("--orbax-step", type=int, default=None,
+                        help="specific step in --orbax-ckpt (default: latest)")
     parser.add_argument("--class-index", type=int, default=0)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--fast-knn", action="store_true")
@@ -68,7 +74,23 @@ def main(argv=None):
     cfg = get_config(args.model, remat=False)
     if args.bf16:
         cfg = cfg.replace(dtype="bfloat16", precision="default")
-    pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
+    if args.orbax_ckpt:
+        # a model trained by OUR trainer: restore params out of the
+        # TrainState the loop checkpoints (train/checkpoint.py), then
+        # serve them through the same Predictor path as ported weights
+        import jax
+
+        from ..models.pesto import init_params
+        from ..train.checkpoint import restore_params
+
+        template = init_params(cfg, jax.random.PRNGKey(0))
+        params = restore_params(args.orbax_ckpt, template,
+                                step=args.orbax_step)
+        if params is None:
+            parser.error(f"no checkpoint found in {args.orbax_ckpt}")
+        pred = Predictor(cfg, params)
+    else:
+        pred = Predictor.from_reference_checkpoint(args.ckpt, cfg)
     if args.fast_knn:
         pred.knn_method = "fast"
 

@@ -125,6 +125,36 @@ def restore_checkpoint(ckpt_dir: str, state_template, step: Optional[int] = None
         return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
+def restore_params(ckpt_dir: str, params_template,
+                   step: Optional[int] = None):
+    """Restore ONLY the model parameters from a TrainState checkpoint.
+
+    Optimizer-state trees differ across lr-schedule families (a constant
+    optax.adam and a scheduled one checkpoint different opt_state
+    structures), so consumers that just want weights for inference —
+    e.g. `benchmark_ppi --orbax-ckpt` — must not have to reconstruct the
+    exact optimizer the run used. Partial restore skips everything but
+    the params subtree. Returns the params pytree, or None if no
+    checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = mgr.latest_step() if step is None else step
+        if step is None:
+            return None
+        restored = mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item={"params": jax.device_get(params_template)},
+                partial_restore=True,
+            ),
+        )
+        return restored["params"]
+
+
 def save_code_snapshot(output_dir: str) -> str:
     """Snapshot the pesto_tpu package source into the run dir (the
     reference copies its whole source tree into each save dir for

@@ -175,6 +175,33 @@ def test_compact_batch_matches_dense():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_restore_params_only(tmp_path):
+    """restore_params pulls the params subtree out of a TrainState
+    checkpoint without reconstructing the optimizer state — consumers
+    like `benchmark_ppi --orbax-ckpt` must not need to know which lr
+    schedule the run used (the opt_state tree differs across schedule
+    families)."""
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.train.checkpoint import restore_params, save_checkpoint
+
+    state, tx = create_train_state(TINY, learning_rate=1e-3)
+    step = make_train_step(TINY, tx, donate=False)
+    state, _ = step(state, stack_batch([_random_padded(3)]))
+    save_checkpoint(str(tmp_path / "ck"), state)
+
+    # a fresh template carries none of the run's optimizer knowledge
+    template = init_params(TINY, jax.random.PRNGKey(7))
+    params = restore_params(str(tmp_path / "ck"), template)
+    assert params is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    assert restore_params(str(tmp_path / "nope"), template) is None
+
+
 def test_async_checkpointer_roundtrip(tmp_path):
     """AsyncCheckpointer writes must be restorable and identical to the
     state snapshotted at save() time, even if training mutates the state
