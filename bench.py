@@ -353,18 +353,26 @@ def main():
         import glob as _glob
         import os as _os
 
-        from pesto_tpu.io import read_structure
-        from pesto_tpu.structure import concatenate_chains, preprocess_structure
-
         pdb_dir = "/root/reference/pdbs_test"
         paths = sorted(_glob.glob(_os.path.join(pdb_dir, "*.pdb")))[:64]
         if paths:
+            from pesto_tpu.io import read_structure
+            from pesto_tpu.structure import (
+                concatenate_chains, preprocess_structure,
+            )
+
             def run_pdb_folder():
-                recs = []
-                for p in paths:
-                    recs.append(concatenate_chains(
+                # serial host parse: measured FASTER than the threaded
+                # predict_pdb_files path on this workload (51.0k vs
+                # 49.9k atoms/s; docs/artifacts/pdb_folder_parse.json)
+                # — parse is only ~0.33 s of the ~3.2 s window and the
+                # GIL-held preprocess chain gains nothing from threads
+                recs = [
+                    concatenate_chains(
                         preprocess_structure(read_structure(p))
-                    ))
+                    )
+                    for p in paths
+                ]
                 probs = pred16.predict_batch(recs)
                 return recs, probs
 

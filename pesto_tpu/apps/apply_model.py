@@ -61,14 +61,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     from ..infer import Predictor
-    from ..io import read_structure, save_pdb
+    from ..io import save_pdb
     from ..models import get_config
-    from ..structure import (
-        concatenate_chains,
-        encode_bfactor,
-        preprocess_structure,
-        split_by_chain,
-    )
+    from ..structure import encode_bfactor, split_by_chain
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -120,19 +115,14 @@ def main(argv=None):
         [int(c) for c in args.classes.split(",")] if args.classes else list(range(cfg.dm_n2))
     )
 
-    # host-side parse/clean, then bucketed batch prediction
-    structures, keep_paths = [], []
-    for path in paths:
-        try:
-            subunits = preprocess_structure(read_structure(path))
-            structures.append(concatenate_chains(subunits))
-            keep_paths.append(path)
-        except Exception as e:
-            print(f"ReadError: {path}: {e}", file=sys.stderr)
+    # threaded host-side parse/clean (the native parser releases the
+    # GIL), then bucketed batch prediction; unreadable files degrade to
+    # None entries with a ReadError warning on stderr
+    structures, probs = pred.predict_pdb_files(paths)
 
-    probs = pred.predict_batch(structures)
-
-    for path, structure, p in zip(keep_paths, structures, probs):
+    for path, structure, p in zip(paths, structures, probs):
+        if structure is None:  # unreadable file, ReadError already printed
+            continue
         if p is None:  # over-bucket / unpredictable structure, already warned
             print(f"SkipError: {path}: no prediction", file=sys.stderr)
             continue

@@ -407,6 +407,58 @@ class Predictor:
         structure = concatenate_chains(subunits)
         return structure, self.predict_structure(structure)
 
+    def predict_pdb_files(
+        self,
+        paths: list,
+        num_threads: int = 8,
+        atoms_per_call: int = 32768,
+        pipeline_depth: int = 2,
+    ) -> Tuple[list, list]:
+        """Folder-scale inference: PDB/mmCIF paths -> (structures, probs),
+        both aligned with `paths`.
+
+        Parse + the host preprocessing chain (read -> clean -> tag ->
+        split -> filter -> dedup -> concat) run in a thread pool,
+        mirroring the reference's production pipelines which parse in 8
+        DataLoader workers (interfaceome/apply_model.py:55,
+        model/main.py:37). Measured on-chip over 64 pdbs_test files
+        (docs/artifacts/pdb_folder_parse.json): threading is throughput-
+        NEUTRAL on that workload (49.9k atoms/s vs 51.0k serial) —
+        parse is only ~5 ms/file (~10% of the window) and the numpy
+        preprocess chain holds the GIL — so the value of this API is
+        folder-scale convenience and robustness, not speed. A path that
+        cannot be parsed degrades to a (None, None) pair with a stderr
+        warning — the reference's per-item (None, path) contract
+        (src/dataset.py:132-136).
+        """
+        import sys as _sys
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .io import read_structure
+
+        def load(path):
+            try:
+                return concatenate_chains(
+                    preprocess_structure(read_structure(path))
+                )
+            except Exception as e:
+                print(f"ReadError: {path}: {e}", file=_sys.stderr)
+                return None
+
+        with ThreadPoolExecutor(max(1, int(num_threads))) as pool:
+            structures = list(pool.map(load, paths))
+        keep = [s for s in structures if s is not None]
+        probs_kept = (
+            self.predict_batch(
+                keep, atoms_per_call=atoms_per_call,
+                pipeline_depth=pipeline_depth,
+            )
+            if keep else []
+        )
+        it = iter(probs_kept)
+        probs = [next(it) if s is not None else None for s in structures]
+        return structures, probs
+
     def predict_batch(
         self,
         structures: list,

@@ -103,22 +103,40 @@ def test_serving_load_table_matches_artifact():
 
 
 def _latest_bench():
+    """Most recent committed bench evidence: the driver's end-of-round
+    BENCH_r{N}.json files, plus any committed mid-round on-chip run log
+    (docs/artifacts/bench_round{N}_onchip.log), which sits between round
+    N-1's and round N's BENCH files in time."""
     import json
 
-    benches = sorted(REPO.glob("BENCH_r*.json"))
-    if not benches:
-        pytest.skip("no BENCH_r*.json committed")
-    data = json.load(open(benches[-1]))
-    parsed = data.get("parsed") or {}
-    if not parsed.get("detail"):
-        # some rounds store the JSON line only in "tail"
-        for line in reversed(data.get("tail", "").splitlines()):
+    candidates = []  # (recency_rank, parsed)
+    for p in REPO.glob("BENCH_r*.json"):
+        rnd = int(re.search(r"BENCH_r0*(\d+)", p.name).group(1))
+        data = json.load(open(p))
+        parsed = data.get("parsed") or {}
+        if not parsed.get("detail"):
+            # some rounds store the JSON line only in "tail"
+            for line in reversed(data.get("tail", "").splitlines()):
+                if line.startswith("{"):
+                    parsed = json.loads(line)
+                    break
+        if parsed.get("detail"):
+            candidates.append((2 * rnd, parsed))
+    for p in (REPO / "docs" / "artifacts").glob("bench_round*_onchip.log"):
+        rnd = int(re.search(r"bench_round0*(\d+)", p.name).group(1))
+        parsed = None
+        for line in reversed(p.read_text().splitlines()):
             if line.startswith("{"):
-                parsed = json.loads(line)
+                try:
+                    parsed = json.loads(line)
+                except json.JSONDecodeError:
+                    parsed = None
                 break
-    if not parsed.get("detail"):
-        pytest.skip("latest BENCH file carries no parsed detail")
-    return parsed
+        if parsed and parsed.get("detail"):
+            candidates.append((2 * rnd - 1, parsed))
+    if not candidates:
+        pytest.skip("no bench evidence committed")
+    return max(candidates, key=lambda c: c[0])[1]
 
 
 def test_readme_train_claims_match_bench():

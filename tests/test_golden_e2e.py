@@ -122,6 +122,55 @@ def test_predict_batch_isolates_malformed_structures(capsys):
     assert "EncodeError" in capsys.readouterr().err
 
 
+def test_predict_pdb_files_threaded_parse_matches_serial(tmp_path, capsys):
+    """predict_pdb_files (threaded parse + preprocess, the folder-
+    inference path apply_model and bench.py use) must return the same
+    probabilities as serially parsing the same files and calling
+    predict_batch, and an unreadable path must degrade to a
+    (None, None) pair instead of failing the folder — the reference's
+    per-item (None, path) contract (src/dataset.py:132-136)."""
+    from pesto_tpu.infer import Predictor
+    from pesto_tpu.io import read_structure, save_pdb
+    from pesto_tpu.models import get_config
+    from pesto_tpu.models.pesto import init_params
+    from pesto_tpu.structure import (
+        concatenate_chains,
+        preprocess_structure,
+        split_by_chain,
+    )
+    from pesto_tpu.synthetic import random_structure_record
+
+    paths = []
+    for i, (na, nr) in enumerate([(40, 8), (56, 10), (48, 9)]):
+        rec = random_structure_record(n_atoms=na, n_res=nr, seed=10 + i)
+        p = str(tmp_path / f"s{i}.pdb")
+        save_pdb(split_by_chain(rec), p)
+        paths.append(p)
+    bad = str(tmp_path / "not_a_structure.pdb")
+    with open(bad, "w") as f:
+        f.write("this is not a pdb file\n")
+    paths.insert(1, bad)
+
+    base = get_config("i_v4_0", remat=False)
+    cfg = base.replace(layers=base.layers[:1])
+    pred = Predictor(cfg, init_params(cfg, na=256, nr=32))
+
+    structs, probs = pred.predict_pdb_files(paths, num_threads=4)
+    assert len(structs) == len(probs) == len(paths)
+    assert structs[1] is None and probs[1] is None
+    assert "ReadError" in capsys.readouterr().err
+
+    good_paths = [paths[0], paths[2], paths[3]]
+    serial = [
+        concatenate_chains(preprocess_structure(read_structure(p)))
+        for p in good_paths
+    ]
+    want = pred.predict_batch(serial)
+    got = [probs[0], probs[2], probs[3]]
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0)
+
+
 def test_predict_batch_concurrent_calls_are_safe():
     """Two threads sharing one Predictor must not corrupt each other via
     the reused BatchEncoder staging buffers (each predict_batch call
